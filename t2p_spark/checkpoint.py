@@ -1,0 +1,79 @@
+"""Per-bucket checkpoint/lineage: idempotent commits + exact resume.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". Output and metrics are written per ``bucket = pmod(xxhash64(
+doc_id), n_buckets)``; a resume run reads the metrics table, prunes
+completed buckets from the *input scan* (partition-pruning-friendly
+filter), and only converts the remainder. Dynamic partition overwrite
+makes re-running a half-written bucket idempotent.
+
+Offline this runs on plain Parquet; on a real cluster the same layout maps
+to an Iceberg table partitioned by ``bucket(N, doc_id)`` with snapshot ids
+recorded per run (see t2p_spark.io_tables).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from t2p_spark.pipeline import extract, extracted_metrics
+
+
+def completed_buckets(spark: SparkSession, metrics_path: str) -> List[int]:
+    if not _exists(spark, metrics_path):
+        return []
+    m = spark.read.parquet(metrics_path)
+    return [r["bucket"] for r in m.select("bucket").distinct().collect()]
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    # local-fs fast path; on hdfs/s3 rely on the read attempt
+    if path.startswith("/") or path.startswith("file:"):
+        return os.path.exists(path.replace("file:", "", 1))
+    try:
+        spark.read.parquet(path).limit(0).collect()
+        return True
+    except Exception:
+        return False
+
+
+def run_extract_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    metrics_path: str,
+    run_id: str,
+    parallelism: Optional[int] = None,
+    n_buckets: int = 64,
+    resume: bool = False,
+) -> DataFrame:
+    """Read docs -> extract -> write spans + metrics, bucket by bucket.
+
+    Returns the metrics DataFrame of the buckets processed in this run.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs = spark.read.parquet(input_path)
+
+    done: List[int] = completed_buckets(spark, metrics_path) if resume else []
+    docs = docs.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    if done:
+        # partition-pruning-friendly: a bucketed/Iceberg source scans only
+        # the remaining buckets
+        docs = docs.filter(~F.col("bucket").isin(done))
+    docs = docs.drop("bucket")
+
+    out = extract(docs, parallelism=parallelism, n_buckets=n_buckets)
+    out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+    written = spark.read.parquet(output_path)
+    if done:
+        written = written.filter(~F.col("bucket").isin(done))
+    metrics = extracted_metrics(written).withColumn("run_id", F.lit(run_id))
+    metrics.write.mode("append").parquet(metrics_path)
+    return metrics

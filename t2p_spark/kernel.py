@@ -1,0 +1,95 @@
+"""Arrow batch kernel: columnar doc batches -> extracted span batches.
+
+JVM->Python crosses exactly once per Arrow batch (``mapInArrow``); inside a
+batch the per-document conversion is the shared ``convert_doc_safe`` logic —
+the same code pytest validates against the reference goldens, so Spark==oracle
+by construction. No row-at-a-time Python UDFs anywhere (input_hint
+constraint); the payload assembly / dimension parsing upstream of this kernel
+is pure Column ops (see ``t2p_spark.pipeline``).
+
+Batch shape in:  doc_id string, width int32, height int32,
+                 media_ref string, json_text string(large ok)
+Batch shape out: EXTRACTED_SCHEMA (doc_id, spans, status, error,
+                 n_blocks, n_spans)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pyarrow as pa
+
+from t2p_spark.convert import convert_doc_safe
+
+SPAN_ARROW = pa.list_(pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+]))
+
+EXTRACTED_ARROW = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", SPAN_ARROW),
+    ("status", pa.string()),
+    ("error", pa.string()),
+    ("n_blocks", pa.int32()),
+    ("n_spans", pa.int32()),
+])
+
+
+def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    doc_ids = batch.column("doc_id").to_pylist()
+    widths = batch.column("width").to_pylist()
+    heights = batch.column("height").to_pylist()
+    media_refs = batch.column("media_ref").to_pylist()
+    payloads = batch.column("json_text").to_pylist()
+
+    spans_col, status_col, error_col, nb_col, ns_col = [], [], [], [], []
+    for width, height, media_ref, payload in zip(
+        widths, heights, media_refs, payloads
+    ):
+        n_blocks = 0
+        if width is None or height is None or not payload:
+            status, spans, error = (
+                "quarantined", [], "InvalidDoc: missing media dims or payload"
+            )
+        else:
+            try:
+                aws = json.loads(payload)
+                n_blocks = len(aws.get("Blocks") or [])
+            except ValueError as exc:
+                aws, status, spans, error = None, "quarantined", [], f"JSONDecodeError: {exc}"
+            else:
+                status, spans, error = convert_doc_safe(
+                    aws, width, height, media_ref or ""
+                )
+        spans_col.append(
+            [{"kind": k, "text": t, "media_ref": m, "offset": o}
+             for k, t, m, o in spans]
+        )
+        status_col.append(status)
+        error_col.append(error)
+        nb_col.append(n_blocks)
+        ns_col.append(len(spans))
+
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(spans_col, type=SPAN_ARROW),
+            pa.array(status_col, type=pa.string()),
+            pa.array(error_col, type=pa.string()),
+            pa.array(nb_col, type=pa.int32()),
+            pa.array(ns_col, type=pa.int32()),
+        ],
+        schema=EXTRACTED_ARROW,
+    )
+
+
+def extract_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entry point."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        yield _convert_batch(batch)

@@ -1,0 +1,130 @@
+"""The extraction pipeline: docs table -> extracted spans table.
+
+Plan shape (SURVEY.md §3.4):
+
+    scan docs (Iceberg/Parquet; partition pruning on bucket for resume)
+      -> Column-only payload assembly (media dims, ordered text concat)
+      -> size-aware split: big docs isolated so one pathological many-block
+         document cannot stall a partition (north_rule skew mitigation)
+      -> repartition by hash(doc_id) within each arm
+      -> mapInArrow extract kernel (one JVM->Python cross per Arrow batch)
+      -> unionByName -> write (partitioned by bucket(doc_id)) + metrics
+
+Everything before/after the kernel is whole-stage-codegen Column ops —
+``.explain()`` shows a single scan, no shuffle besides the explicit
+repartitions, and the final exchange for the partitioned write.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from t2p_spark.kernel import extract_kernel
+from t2p_spark.schema import EXTRACTED_SCHEMA
+
+# Docs whose serialized payload exceeds this go to the isolated big-doc arm.
+BIG_DOC_BYTES = 8 * 1024 * 1024
+DEFAULT_BUCKETS = 64
+
+
+def assemble_payload(docs: DataFrame) -> DataFrame:
+    """Column-only: interleaved spans -> (doc_id, width, height, media_ref, json_text).
+
+    Encoding per FIXTURES.md §1: the 'media' span carries "WxH" pixel dims in
+    `text` and the image filename in `media_ref` (replacing the reference's
+    PIL lookup, convert_aws.py:720-723); 'text' spans concatenate to the
+    Textract JSON in `offset` order.
+    """
+    # try_element_at: a doc without a media span yields NULL dims and is
+    # quarantined by the kernel rather than failing the stage
+    media = F.try_element_at(
+        F.filter("spans", lambda s: s["kind"] == F.lit("media")), F.lit(1)
+    )
+    dims = F.split(media["text"], "x")
+    text_spans = F.array_sort(
+        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(dims, 1).cast("int").alias("width"),
+        F.element_at(dims, 2).cast("int").alias("height"),
+        F.coalesce(media["media_ref"], F.lit("")).alias("media_ref"),
+        F.array_join(F.transform(text_spans, lambda s: s["text"]), "").alias(
+            "json_text"
+        ),
+    )
+
+
+def extract(docs: DataFrame, parallelism: int | None = None,
+            big_doc_bytes: int = BIG_DOC_BYTES,
+            n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """docs(doc_id, spans) -> extracted(doc_id, spans, status, ...) + bucket.
+
+    `parallelism` defaults to sparkContext.defaultParallelism; the small-doc
+    arm gets 4x tasks for scheduler elasticity, the big-doc arm one task per
+    partition-sized slice with tiny Arrow batches.
+    """
+    spark = docs.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+
+    assembled = assemble_payload(docs).withColumn(
+        "payload_bytes", F.octet_length("json_text")
+    )
+
+    small = (
+        assembled.filter(F.col("payload_bytes") <= big_doc_bytes)
+        .drop("payload_bytes")
+        .repartition(parallelism * 4, "doc_id")
+    )
+    big = (
+        assembled.filter(F.col("payload_bytes") > big_doc_bytes)
+        .drop("payload_bytes")
+        .repartition(parallelism, "doc_id")
+    )
+
+    out_small = small.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
+    out_big = big.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
+    out = out_small.unionByName(out_big)
+
+    return out.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def extracted_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-bucket lineage/metrics aggregate (north_rule: per-partition
+    progress + extraction metrics for exact resume)."""
+    span_fp = F.xxhash64(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "\x1e", s["kind"], s["text"], s["media_ref"],
+                    s["offset"].cast("string"),
+                ),
+            ),
+            "\x1d",
+        ),
+    )
+    return (
+        extracted.withColumn("_fp", span_fp)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") == "quarantined", 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_spans").alias("n_spans"),
+            # order-insensitive, overflow-free checksum over per-doc
+            # span fingerprints (ANSI mode forbids wrapping sum)
+            F.expr("bit_xor(_fp)").alias("span_checksum"),
+        )
+    )
