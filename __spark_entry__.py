@@ -1,38 +1,134 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: the extraction pipeline over the fixture
+                    corpus (the product per BASELINE.json input_hint),
+                    returning exploded span rows.
+queries()         — every implemented operator from SURVEY.md §2 plus the
+                    training-data operator suite (dedup / similarity /
+                    text-analysis / relational), each as
+                    (spark, sf_dir) -> DataFrame.
+oracle_sql()      — DuckDB twins. Relational queries share one ANSI SQL
+                    string with Spark; list-heavy ops have engineered
+                    bit-identical twins (see t2p_spark/textkit.py);
+                    the extraction flagship is checked against the
+                    committed reference-derived goldens via read_json.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+GOLDEN_GLOB = os.path.join(REPO, "tests", "golden", "*.json")
+
+
+# --- extraction queries ------------------------------------------------------
+
+def _fixture_docs(spark: SparkSession) -> DataFrame:
+    from t2p_spark.fixtures import fixture_doc_rows
+    from t2p_spark.schema import DOCS_SCHEMA
+
+    return spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+
+
+def extract_fixture_spans(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Extraction flagship: 8-doc reference corpus -> exploded span rows.
+
+    Oracle: the committed goldens (mechanical flattenings of the reference
+    converter's PAGE-XML output) read by DuckDB — the same ground truth the
+    pytest suite pins.
+    """
+    import pyspark.sql.functions as F
+
+    from t2p_spark.pipeline import extract
+
+    out = extract(_fixture_docs(spark), parallelism=4)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("text_md5"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Deterministic 120-doc synthetic corpus through the full pipeline;
+    returns per-doc status/metrics (rows-only check: the per-doc span
+    equality vs the pure-Python oracle is asserted in pytest instead)."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.pipeline import extract
+    from t2p_spark.schema import DOCS_SCHEMA
+    from t2p_spark.synth import corpus_rows
+
+    docs = spark.createDataFrame(
+        list(corpus_rows(120, seed=7, chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    out = extract(docs, parallelism=4)
+    return out.select("doc_id", "status", "n_blocks", "n_spans").orderBy("doc_id")
+
+
+EXTRACT_FIXTURES_ORACLE = f"""
+    SELECT doc_id,
+           CAST(s->>0 AS VARCHAR) AS kind,
+           md5(CAST(s->>1 AS VARCHAR)) AS text_md5,
+           CAST(s->>2 AS VARCHAR) AS media_ref,
+           CAST(s->>3 AS INT) AS offset
+    FROM (
+      SELECT doc_id, unnest(spans) AS s
+      FROM read_json('{GOLDEN_GLOB}',
+                     columns={{'doc_id': 'VARCHAR', 'spans': 'JSON[]'}})
+    ) t
+"""
+
+
+# --- contract ----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke: full extraction pipeline on the reference corpus."""
+    return extract_fixture_spans(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from t2p_spark.ann import ann_sql, run_ann
+    from t2p_spark.relational import RELATIONAL_SQL, run_relational
+    from t2p_spark.textkit import run_textkit, spark_sql_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "extract_fixture_spans": extract_fixture_spans,
+        "extract_synth_corpus": extract_synth_corpus,
+    }
+    for name in RELATIONAL_SQL:
+        out[name] = (lambda n: lambda spark, sf: run_relational(spark, sf, n))(name)
+    for name in spark_sql_queries():
+        out[name] = (lambda n: lambda spark, sf: run_textkit(spark, sf, n))(name)
+    for name in ann_sql("s"):
+        out[name] = (lambda n: lambda spark, sf: run_ann(spark, sf, n))(name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from t2p_spark.ann import ann_sql
+    from t2p_spark.relational import RELATIONAL_SQL
+    from t2p_spark.textkit import duckdb_oracle_queries
+
+    out = {"extract_fixture_spans": EXTRACT_FIXTURES_ORACLE}
+    out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
+    out.update(duckdb_oracle_queries()) # engineered twins
+    out.update(ann_sql("d"))
+    # extract_synth_corpus: intentionally no oracle (non-SQL-expressible
+    # converter); rows-only check + pytest spark==oracle sweep.
+    return out

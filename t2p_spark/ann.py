@@ -1,0 +1,152 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+Operators (each with a DuckDB oracle twin, see t2p_spark.textkit for the
+parity engineering rules):
+
+  - ann_topk_brute: exact cosine top-k for a fixed query set. Spark plan:
+    broadcast the (tiny) query side, one narrow pass over embeddings,
+    per-query top-k via window row_number. At cluster scale this is the
+    baseline scoring pass: no shuffle of the big side except the final
+    per-query aggregation, which carries only k rows per partition after
+    partial ranking.
+  - ann_topk_lsh: random-hyperplane LSH variant — 8 signed projections ->
+    16-bit-ish bucket; candidates share the query's bucket prefix. Scale
+    path: the equi-join on bucket replaces the cross product.
+  - embedding_neardup: near-duplicate pairs within an LSH bucket at
+    cosine >= threshold.
+
+Determinism: hyperplanes are fixed seeded literals baked into both SQL
+texts; cosine is computed element-wise in double and ROUNDed before any
+comparison or ranking, so engine-side float summation order cannot flip
+results.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 10
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+# data-relative: the synthetic embeddings are near-orthogonal (max
+# within-bucket cosine ~0.45 at sf0.01), so a production-style 0.9 would
+# trivially return zero rows; 0.35 keeps the operator's output non-empty.
+NEARDUP_TAU = 0.35
+
+_rng = random.Random(20240716)
+PLANES = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _dot(a: str, b_literal: list, engine: str) -> str:
+    lit = ", ".join(repr(v) for v in b_literal)
+    if engine == "s":
+        return (f"aggregate(zip_with({a}, array({lit}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    return (f"list_sum(list_transform(list_zip({a}, [{lit}]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))")
+
+
+def _dot_cols(a: str, b: str, engine: str) -> str:
+    if engine == "s":
+        return (f"aggregate(zip_with({a}, {b}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0D, (acc, v) -> acc + v)")
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def _norm(a: str, engine: str) -> str:
+    if engine == "s":
+        return (f"sqrt(aggregate({a}, 0D, "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _bucket_expr(col: str, engine: str) -> str:
+    bits = []
+    for j, plane in enumerate(PLANES):
+        bits.append(
+            f"(CASE WHEN {_dot(col, plane, engine)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _with_buckets(engine: str) -> str:
+    return (f"SELECT vec_id, label, embedding, "
+            f"{_bucket_expr('embedding', engine)} AS bucket, "
+            f"{_norm('embedding', engine)} AS norm "
+            f"FROM embeddings")
+
+
+def ann_sql(engine: str) -> dict:
+    cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', engine)} "
+           f"/ (q.norm * c.norm), 6)")
+    base = _with_buckets(engine)
+    q = {}
+    q["embedding_buckets"] = f"""
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id
+        FROM ({base}) b
+        GROUP BY bucket
+    """
+    q["ann_topk_brute"] = f"""
+        WITH vecs AS ({base}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+    q["ann_topk_lsh"] = f"""
+        WITH vecs AS ({base}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM vecs q JOIN vecs c
+            ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+    q["embedding_neardup"] = f"""
+        WITH vecs AS ({base})
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cosine
+        FROM vecs q JOIN vecs c
+          ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+        WHERE {cos} >= {NEARDUP_TAU}
+    """
+    return q
+
+
+def run_ann(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from t2p_spark.relational import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ann_sql("s")[name])

@@ -1,0 +1,161 @@
+"""Relational analytics queries over the star-schema tables.
+
+Each query is ONE ANSI-SQL string executed verbatim by both Spark SQL
+(``spark.sql`` over temp views) and the DuckDB correctness oracle — dialect
+overlap is the parity guarantee. Numeric aggregates are cast to DECIMAL
+before summing so results are exact and engine/partition-order independent
+(double sums are not associative; decimal sums are).
+
+Spark-first notes per query are in the docstring-style comments: what
+Catalyst does (pushdown, broadcast, partial agg) and why the plan scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# --- shared SQL (runs on Spark AND DuckDB verbatim) -------------------------
+
+RELATIONAL_SQL = {
+    # TPC-H Q1 shape: single wide scan -> partial+final agg. Catalyst prunes
+    # to 7 columns and pushes the shipdate filter into the parquet scan.
+    "q1_pricing_summary": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+          CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    # TPC-H Q3 shape: 3-way join; customer is the small build side ->
+    # broadcast under AQE; order/limit replaced by deterministic filter
+    # (top-k by value is order-insensitive for the hash check).
+    "q3_shipping_priority": """
+        SELECT
+          l_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          o_orderdate,
+          o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) > 0
+    """,
+    # TPC-H Q5 shape: 6-way star join; region/nation broadcast.
+    "q5_local_supplier": """
+        SELECT
+          n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    # windowed top-k: rank customers by lifetime spend within nation.
+    "top_customers_window": """
+        SELECT n_name, c_name, total_spend, spend_rank
+        FROM (
+          SELECT
+            n_name,
+            c_name,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY n_name
+              ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_name
+            ) AS BIGINT) AS spend_rank
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, c_name
+        ) ranked
+        WHERE spend_rank <= 5
+    """,
+    # sessionization: 30-min inactivity gap; pure window functions.
+    # At scale this is one shuffle on user_id; no Python.
+    "events_sessionize": """
+        SELECT
+          user_id,
+          CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT
+            user_id,
+            CAST(SUM(is_new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN CAST(ts AS TIMESTAMP) > COALESCE(
+                     LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) + INTERVAL '30' MINUTE,
+                     CAST(ts AS TIMESTAMP))
+                   THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+          ) flagged
+        ) sessions
+        GROUP BY user_id
+    """,
+    # tumbling 1-hour windows per event type (streaming-shape agg run batch;
+    # the Structured Streaming twin lives in t2p_spark.streaming).
+    "events_tumbling_hour": """
+        SELECT
+          event_type,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # anti-join + semi-join coverage: customers with orders but no high-value
+    # order.
+    "customers_no_big_order": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+          )
+    """,
+    # scalar/extract functions + conditional agg over the JSON props column.
+    "events_props_stats": """
+        SELECT
+          event_type,
+          CAST(COUNT(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high,
+          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+          CAST(MAX(LENGTH(props)) AS BIGINT) AS max_props_len
+        FROM events
+        GROUP BY event_type
+    """,
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(RELATIONAL_SQL[name])
