@@ -1,0 +1,117 @@
+"""Benchmark driver: one JSON line with per-query wall times + throughput.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Runs every driver-contract query at the given SF plus the extraction
+pipeline over a deterministic synthetic corpus (cached under /tmp, keyed by
+size+seed). Output:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "extract_docs_per_sec": ..., "extract_docs": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.0
+
+
+def ensure_corpus(spark, n_docs: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from t2p_spark.schema import DOCS_SCHEMA
+    from t2p_spark.synth import corpus_rows
+
+    buf, mode = [], "overwrite"
+    for row in corpus_rows(n_docs, seed=SEED, chunk_size=1 << 20):
+        buf.append(row)
+        if len(buf) >= 1000:
+            spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
+                CPUS
+            ).write.mode(mode).parquet(path)
+            buf, mode = [], "append"
+    if buf:
+        spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
+            max(4, CPUS // 4)
+        ).write.mode(mode).parquet(path)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from t2p_spark.pipeline import extract
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("t2p-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_of(SF_DIR)
+
+    # warmup (session/JIT)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # extraction throughput over a cached deterministic corpus
+    n_docs = max(200, int(20000 * sf))
+    corpus = f"/tmp/t2p_bench_corpus_{n_docs}_{SEED}"
+    ensure_corpus(spark, n_docs, corpus)
+    docs = spark.read.parquet(corpus)
+    t0 = time.monotonic()
+    extracted = extract(docs, parallelism=CPUS)
+    n_ok = extracted.filter("status = 'ok'").count()
+    dt_extract = time.monotonic() - t0
+    timings["extract_pipeline"] = round(dt_extract, 3)
+    total += dt_extract
+    print(f"# extract_pipeline: {dt_extract:.3f}s ({n_ok} ok of {n_docs})",
+          file=sys.stderr)
+
+    result = {
+        "metric": "total wall seconds: all driver-contract queries + "
+                  "extraction pipeline at SF",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / dt_extract, 2),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

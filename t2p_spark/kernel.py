@@ -40,13 +40,21 @@ EXTRACTED_ARROW = pa.schema([
 
 
 def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
-    doc_ids = batch.column("doc_id").to_pylist()
     widths = batch.column("width").to_pylist()
     heights = batch.column("height").to_pylist()
     media_refs = batch.column("media_ref").to_pylist()
     payloads = batch.column("json_text").to_pylist()
 
-    spans_col, status_col, error_col, nb_col, ns_col = [], [], [], [], []
+    # columnar span construction: flat value arrays + list offsets — no
+    # per-span Python dicts (the naive from_pylist path was the kernel's
+    # hotspot, ~2x the conversion cost itself)
+    kinds: list = []
+    texts: list = []
+    refs: list = []
+    offs: list = []
+    list_offsets = [0]
+    status_col, error_col, nb_col, ns_col = [], [], [], []
+
     for width, height, media_ref, payload in zip(
         widths, heights, media_refs, payloads
     ):
@@ -60,24 +68,38 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 aws = json.loads(payload)
                 n_blocks = len(aws.get("Blocks") or [])
             except ValueError as exc:
-                aws, status, spans, error = None, "quarantined", [], f"JSONDecodeError: {exc}"
+                status, spans, error = "quarantined", [], f"JSONDecodeError: {exc}"
             else:
                 status, spans, error = convert_doc_safe(
                     aws, width, height, media_ref or ""
                 )
-        spans_col.append(
-            [{"kind": k, "text": t, "media_ref": m, "offset": o}
-             for k, t, m, o in spans]
-        )
+        for k, t, m, o in spans:
+            kinds.append(k)
+            texts.append(t)
+            refs.append(m)
+            offs.append(o)
+        list_offsets.append(len(kinds))
         status_col.append(status)
         error_col.append(error)
         nb_col.append(n_blocks)
         ns_col.append(len(spans))
 
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(list_offsets, pa.int32()), span_struct
+    )
     return pa.RecordBatch.from_arrays(
         [
             batch.column("doc_id"),
-            pa.array(spans_col, type=SPAN_ARROW),
+            spans_arr,
             pa.array(status_col, type=pa.string()),
             pa.array(error_col, type=pa.string()),
             pa.array(nb_col, type=pa.int32()),

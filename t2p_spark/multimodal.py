@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a typed metadata
+struct; decode / resize / frame-sample run as Arrow-batched kernels over
+``mapInArrow``/``mapInPandas``. The decode step itself is STUBBED offline
+(no image/audio libraries in this container — clearly marked below); the
+Spark-side plumbing — schema, partitioning, kernel signature, batch shape —
+is real and tested.
+
+Deterministic fake codec ("T2PIMG"): a 16-byte header
+``b"T2PIMG" + uint32_be(width) + uint32_be(height) + uint16_be(channels)``
+followed by pseudo-pixel bytes. ``media_meta`` parses the header
+vectorized; ``decode_media`` raises NotImplementedError unless the payload
+is the fake codec.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pyarrow as pa
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+MAGIC = b"T2PIMG"
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), nullable=False),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+META_ARROW = pa.schema([
+    ("media_id", pa.string()),
+    ("format", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+    ("n_bytes", pa.int64()),
+    ("valid", pa.bool_()),
+])
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3,
+                      seed: int = 0) -> bytes:
+    header = MAGIC + struct.pack(">IIH", width, height, channels)
+    n = min(width * height * channels, 4096)  # truncated pseudo-pixels
+    body = bytes((seed * 1103515245 + i * 12345) % 256 for i in range(n))
+    return header + body
+
+
+def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("content").to_pylist()
+        fmt, w, h, c, nb, ok = [], [], [], [], [], []
+        for blob in blobs:
+            if blob is not None and blob[:6] == MAGIC and len(blob) >= 16:
+                width, height, channels = struct.unpack(">IIH", blob[6:16])
+                fmt.append("t2pimg")
+                w.append(width)
+                h.append(height)
+                c.append(channels)
+                ok.append(True)
+            else:
+                fmt.append("unknown")
+                w.append(None)
+                h.append(None)
+                c.append(None)
+                ok.append(False)
+            nb.append(len(blob) if blob is not None else 0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(fmt), pa.array(w, pa.int32()),
+             pa.array(h, pa.int32()), pa.array(c, pa.int32()),
+             pa.array(nb, pa.int64()), pa.array(ok)],
+            schema=META_ARROW,
+        )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Vectorized header parse: (media_id, format, width, height, channels,
+    n_bytes, valid). One Arrow cross per batch; binary never leaves the
+    executor."""
+    return media.select("media_id", "content").mapInArrow(
+        _meta_kernel, schema=META_SCHEMA
+    )
+
+
+def decode_media(blob: bytes):
+    """Decode a media payload to a pixel array.
+
+    OFFLINE STUB: real codecs (PIL/libjpeg/ffmpeg) are not available in
+    this container. The fake codec decodes deterministically; everything
+    else raises. On a real cluster this body swaps for PIL/torchvision
+    inside the same mapInArrow kernel — the plumbing does not change.
+    """
+    if blob[:6] == MAGIC:
+        width, height, channels = struct.unpack(">IIH", blob[6:16])
+        return {"width": width, "height": height, "channels": channels,
+                "pixels": blob[16:]}
+    raise NotImplementedError(
+        "real image decoding unavailable offline (no PIL/ffmpeg); "
+        "only the deterministic T2PIMG fake codec is supported"
+    )
+
+
+def media_table_from_docs(docs: DataFrame) -> DataFrame:
+    """Derive a media table from the interleaved docs table: one row per
+    media span, with deterministic fake content sized from the 'WxH' dims."""
+    exploded = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media")
+    dims = F.split(F.col("s.text"), "x")
+    with_dims = exploded.select(
+        F.concat_ws("#", "doc_id", F.col("s.media_ref")).alias("media_id"),
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.element_at(dims, 1).cast("int").alias("w"),
+        F.element_at(dims, 2).cast("int").alias("h"),
+    )
+
+    def _encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_schema = pa.schema([
+            ("media_id", pa.string()), ("doc_id", pa.string()),
+            ("media_ref", pa.string()), ("content", pa.binary()),
+        ])
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            dids = batch.column("doc_id").to_pylist()
+            refs = batch.column("media_ref").to_pylist()
+            ws = batch.column("w").to_pylist()
+            hs = batch.column("h").to_pylist()
+            blobs = [
+                encode_fake_image(w or 1, h or 1, seed=len(i))
+                for i, w, h in zip(ids, ws, hs)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(dids), pa.array(refs),
+                 pa.array(blobs, pa.binary())],
+                schema=out_schema,
+            )
+
+    return with_dims.mapInArrow(_encode, schema=MEDIA_SCHEMA)

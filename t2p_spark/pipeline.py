@@ -4,15 +4,27 @@ Plan shape (SURVEY.md §3.4):
 
     scan docs (Iceberg/Parquet; partition pruning on bucket for resume)
       -> Column-only payload assembly (media dims, ordered text concat)
-      -> size-aware split: big docs isolated so one pathological many-block
-         document cannot stall a partition (north_rule skew mitigation)
-      -> repartition by hash(doc_id) within each arm
+      -> [optional] repartition by hash(doc_id)
       -> mapInArrow extract kernel (one JVM->Python cross per Arrow batch)
-      -> unionByName -> write (partitioned by bucket(doc_id)) + metrics
+      -> write (partitioned by bucket(doc_id)) + metrics
+
+Skew strategy (north_rule "pathological many-block documents"):
+  - Arrow batches are BYTE-bounded (spark.sql.execution.arrow.
+    maxBytesPerBatch, 64MB default in Spark 4), so one giant doc cannot
+    blow up a Python worker's batch regardless of row count;
+  - with parallelism=None the kernel runs directly on scan partitions —
+    ZERO shuffle; parquet's maxPartitionBytes already size-balances the
+    tasks. Pass parallelism=N only when the source is known to be
+    badly laid out (few files / one giant file): that adds one explicit
+    hash(doc_id) exchange at 4N granularity for scheduler elasticity.
+
+Known limit: a single document whose serialized payload exceeds the Arrow
+string/int32 offset range (~2GB) would fail at serialization; at ingest
+such rows should be quarantined upstream (cheap span-length sum filter).
 
 Everything before/after the kernel is whole-stage-codegen Column ops —
-``.explain()`` shows a single scan, no shuffle besides the explicit
-repartitions, and the final exchange for the partitioned write.
+``.explain()`` shows one scan, at most one explicit exchange, the kernel,
+and the write.
 """
 
 from __future__ import annotations
@@ -23,8 +35,6 @@ from pyspark.sql import DataFrame
 from t2p_spark.kernel import extract_kernel
 from t2p_spark.schema import EXTRACTED_SCHEMA
 
-# Docs whose serialized payload exceeds this go to the isolated big-doc arm.
-BIG_DOC_BYTES = 8 * 1024 * 1024
 DEFAULT_BUCKETS = 64
 
 
@@ -60,37 +70,20 @@ def assemble_payload(docs: DataFrame) -> DataFrame:
 
 
 def extract(docs: DataFrame, parallelism: int | None = None,
-            big_doc_bytes: int = BIG_DOC_BYTES,
             n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """docs(doc_id, spans) -> extracted(doc_id, spans, status, ...) + bucket.
 
-    `parallelism` defaults to sparkContext.defaultParallelism; the small-doc
-    arm gets 4x tasks for scheduler elasticity, the big-doc arm one task per
-    partition-sized slice with tiny Arrow batches.
+    parallelism=None (the scale default): zero shuffle — the kernel runs on
+    the scan partitions; parquet size-splitting + byte-bounded Arrow batches
+    handle doc-size skew. parallelism=N: one explicit hash(doc_id) exchange
+    into 4N partitions, for badly-laid-out sources or local benches where
+    the source has too few splits.
     """
-    spark = docs.sparkSession
-    if parallelism is None:
-        parallelism = spark.sparkContext.defaultParallelism
+    assembled = assemble_payload(docs)
+    if parallelism is not None:
+        assembled = assembled.repartition(parallelism * 4, "doc_id")
 
-    assembled = assemble_payload(docs).withColumn(
-        "payload_bytes", F.octet_length("json_text")
-    )
-
-    small = (
-        assembled.filter(F.col("payload_bytes") <= big_doc_bytes)
-        .drop("payload_bytes")
-        .repartition(parallelism * 4, "doc_id")
-    )
-    big = (
-        assembled.filter(F.col("payload_bytes") > big_doc_bytes)
-        .drop("payload_bytes")
-        .repartition(parallelism, "doc_id")
-    )
-
-    out_small = small.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
-    out_big = big.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
-    out = out_small.unionByName(out_big)
-
+    out = assembled.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )

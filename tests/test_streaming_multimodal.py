@@ -1,0 +1,90 @@
+"""Streaming twin == batch result; multimodal plumbing round-trips."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from t2p_spark.fixtures import fixture_doc_rows
+from t2p_spark.multimodal import decode_media, media_meta, media_table_from_docs
+from t2p_spark.schema import DOCS_SCHEMA
+
+
+def test_streaming_extract_equals_batch(spark, tmp_path):
+    from t2p_spark.pipeline import extract
+    from t2p_spark.streaming import run_extract_stream
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    in_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "out")
+    ck_path = str(tmp_path / "ck")
+    docs.repartition(4).write.parquet(in_path)
+
+    q = run_extract_stream(spark, in_path, out_path, ck_path)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_path)
+    batch = extract(docs, parallelism=2)
+    fp = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["status"],
+         tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in r["spans"]))
+        for r in df.collect()
+    )
+    assert fp(got) == fp(batch)
+
+
+def test_streaming_events_window_equals_batch(spark, tmp_path):
+    from t2p_spark.relational import register_views
+    from t2p_spark.streaming import run_events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_dir = str(tmp_path / "events")  # file stream source needs a directory
+    ev.orderBy("ts").coalesce(4).write.parquet(ev_dir)
+    q = run_events_stream(
+        spark, ev_dir, ev.schema, str(tmp_path / "ck"), "ev_agg"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM ev_agg").collect()
+    }
+    want = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("""
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_value
+            FROM events GROUP BY 1, 2
+        """).collect()
+    }
+    # watermark may drop events >2h late relative to the max seen ts per
+    # microbatch; with maxFilesPerTrigger ordering this corpus arrives
+    # roughly in ts order, so the aggregate must cover every batch key
+    assert got == want
+
+
+def test_media_table_and_meta(spark):
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    media = media_table_from_docs(docs)
+    meta = media_meta(media).collect()
+    assert len(meta) == 8
+    assert all(m["valid"] and m["format"] == "t2pimg" for m in meta)
+    widths = {m["width"] for m in meta}
+    assert 2135 in widths and 425 in widths  # fixture dims round-tripped
+
+
+def test_decode_media_stub():
+    from t2p_spark.multimodal import encode_fake_image
+
+    img = decode_media(encode_fake_image(10, 20, 3, seed=1))
+    assert (img["width"], img["height"], img["channels"]) == (10, 20, 3)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
