@@ -152,8 +152,19 @@ RELATIONAL_SQL = {
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the star-schema tables as temp views.
+
+    Single-file local tables scan as ONE partition, which serializes every
+    downstream stage; a real deployment has thousands of splits. Repartition
+    small scans up to the session parallelism — results are unaffected
+    (queries here are order-insensitive), plans get genuine parallelism.
+    """
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
 
 
 def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -77,9 +77,25 @@ N_MINHASH = 8  # 4 bands x 2 rows
 SIMHASH_BITS = 16
 
 
+def _tok_source(engine: str) -> str:
+    """Token-augmented documents relation.
+
+    Spark reads the cached ``documents_tok`` view (see run_textkit):
+    Catalyst's CollapseProject would otherwise inline the tokenization
+    alias into every array-lambda element access, re-running the regex
+    split once per shingle element (measured 10-30x blowup). DuckDB CSEs
+    the alias properly, so the oracle keeps it inline.
+    """
+    if engine == "s":
+        return "documents_tok"
+    return (f"(SELECT doc_id, source, n_chars, text, "
+            f"{_tokens('text', 'd')} AS toks, "
+            f"{_xform(_tokens('text', 'd'), 't -> ' + _hash32('t', 'd'), 'd')}"
+            f" AS thashes FROM documents)")
+
+
 def _minhash_select(engine: str) -> str:
     """SELECT doc_id, sig_0..sig_7 FROM documents WHERE >=3 tokens."""
-    toks = _tokens("text", engine)
     sh = _shingles("toks", 3, engine)
     sigs = ", ".join(
         _amin(_xform("sh", f"x -> md5(concat('{j}:', x))", engine), engine)
@@ -90,7 +106,7 @@ def _minhash_select(engine: str) -> str:
         SELECT doc_id, {sigs}
         FROM (
           SELECT doc_id, {sh} AS sh
-          FROM (SELECT doc_id, {toks} AS toks FROM documents) tokd
+          FROM {_tok_source(engine)} tokd
           WHERE {_asize('toks', engine)} >= 3
         ) shd
     """
@@ -109,11 +125,17 @@ def _simhash_expr(hashes: str, engine: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-# --- operator catalog -------------------------------------------------------
 
-def spark_sql_queries() -> dict:
-    """name -> Spark SQL string over the registered temp views."""
+# --- operator catalog --------------------------------------------------------
+# One engine-parameterized builder: the Spark query and its DuckDB oracle are
+# generated from the same template, so twin drift is impossible. Engine
+# differences are confined to the helper functions above plus two explicitly
+# forked bodies (LSH pair join shape, explode vs unnest).
+
+def _build(engine: str) -> dict:
+    e = engine
     q = {}
+    tok_src = _tok_source(e)
 
     # exact dedup groups (hash-groupBy; one shuffle on the 128-bit key)
     q["dedup_exact"] = """
@@ -125,50 +147,63 @@ def spark_sql_queries() -> dict:
     """
 
     # minhash signatures (scan + narrow transform, zero shuffles)
-    q["minhash_signatures"] = _minhash_select("s")
+    q["minhash_signatures"] = _minhash_select(e)
 
-    # LSH candidate pairs: explode 4 bands -> equi-join on (band, key).
-    # Spark-first: a shuffle on the band hash, NOT an OR-join nested loop.
-    q["dedup_minhash_lsh"] = f"""
-        WITH sigs AS ({_minhash_select('s')}),
-        bands AS (
-          SELECT doc_id, band, key FROM (
-            SELECT doc_id,
-                   posexplode(array(
-                     concat(sig_0, sig_1), concat(sig_2, sig_3),
-                     concat(sig_4, sig_5), concat(sig_6, sig_7)
-                   )) AS (band, key)
-            FROM sigs
-          )
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    """
+    # LSH candidate pairs. Spark: explode 4 bands -> equi-join on
+    # (band, key) — a shuffle on the band hash, never an OR-join nested
+    # loop. DuckDB oracle: the OR-join form (fine at oracle scale).
+    if e == "s":
+        q["dedup_minhash_lsh"] = """
+            WITH bands AS (
+              SELECT doc_id, band, key FROM (
+                SELECT doc_id,
+                       posexplode(array(
+                         concat(sig_0, sig_1), concat(sig_2, sig_3),
+                         concat(sig_4, sig_5), concat(sig_6, sig_7)
+                       )) AS (band, key)
+                FROM sigs_mat
+              )
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """
+    else:
+        q["dedup_minhash_lsh"] = f"""
+            WITH sigs AS ({_minhash_select('d')})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
+               OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
+               OR (a.sig_4 = b.sig_4 AND a.sig_5 = b.sig_5)
+               OR (a.sig_6 = b.sig_6 AND a.sig_7 = b.sig_7)
+        """
 
-    # simhash clusters
-    hashes_s = _xform(_tokens("text", "s"), f"t -> {_hash32('t', 's')}", "s")
+    # simhash clusters over precomputed per-token hashes (thashes)
     q["simhash_clusters"] = f"""
         SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
-        FROM (SELECT doc_id, {_simhash_expr(hashes_s, 's')} AS simhash
-              FROM documents)
+        FROM (SELECT doc_id, {_simhash_expr("thashes", e)} AS simhash
+              FROM {tok_src} th) t
         GROUP BY simhash
     """
 
     # n-gram Jaccard pairs: explode distinct 4-gram shingles, equi-join,
-    # exact |A∩B| / |A∪B| from integer counts.
-    toks_s = _tokens("text", "s")
-    sh4_s = _adistinct(_shingles("toks", 4, "s"), "s")
-    q["ngram_jaccard_pairs"] = f"""
-        WITH docsh AS (
+    # exact |A∩B| / |A∪B| from integer counts. Spark reads docsh_mat
+    # (named view over documents_tok, created by run_textkit).
+    sh4 = _adistinct(_shingles("toks", 4, e), e)
+    docsh_body = f"""
           SELECT doc_id, sh FROM (
-            SELECT doc_id, {sh4_s} AS sh
-            FROM (SELECT doc_id, {toks_s} AS toks FROM documents) t
-          ) WHERE size(sh) > 0
-        ),
-        tok AS (SELECT doc_id, explode(sh) AS shingle FROM docsh),
-        sizes AS (SELECT doc_id, size(sh) AS n FROM docsh),
+            SELECT doc_id, {sh4} AS sh FROM {tok_src} tk
+          ) s WHERE {_asize("sh", e)} > 0
+    """
+    explode = ("SELECT doc_id, explode(sh) AS shingle FROM docsh" if e == "s"
+               else "SELECT doc_id, unnest(sh) AS shingle FROM docsh")
+    docsh_ref = "docsh_mat" if e == "s" else f"({docsh_body})"
+    q["ngram_jaccard_pairs"] = f"""
+        WITH docsh AS (SELECT * FROM {docsh_ref} d0),
+        tok AS ({explode}),
+        sizes AS (SELECT doc_id, {_asize("sh", e)} AS n FROM docsh),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(COUNT(*) AS BIGINT) AS n_common
@@ -187,6 +222,12 @@ def spark_sql_queries() -> dict:
 
     # language-ID heuristic (fixed EN stopword set; deterministic ratios)
     stop = "('the','a','an','and','of','to','in','is','it','on')"
+    if e == "s":
+        stop_cnt = f"size(filter(toks, t -> t IN {stop}))"
+        sum_len = "aggregate(toks, 0L, (acc, t) -> acc + length(t))"
+    else:
+        stop_cnt = f"len(list_filter(toks, t -> t IN {stop}))"
+        sum_len = "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)"
     q["lang_id"] = f"""
         SELECT doc_id,
                CASE WHEN n_tok = 0 THEN 'empty'
@@ -199,17 +240,19 @@ def spark_sql_queries() -> dict:
                  AS stopword_ratio
         FROM (
           SELECT doc_id,
-                 size(toks) AS n_tok,
-                 size(filter(toks, t -> t IN {stop})) AS stop_cnt,
-                 CASE WHEN size(toks) = 0 THEN 0
-                      ELSE CAST(FLOOR(aggregate(toks, 0L,
-                             (acc, t) -> acc + length(t)) * 100.0
-                           / size(toks)) AS BIGINT) END AS avg_len_x100
-          FROM (SELECT doc_id, {toks_s} AS toks FROM documents) t
-        )
+                 {_asize("toks", e)} AS n_tok,
+                 {stop_cnt} AS stop_cnt,
+                 CASE WHEN {_asize("toks", e)} = 0 THEN 0
+                      ELSE CAST(FLOOR({sum_len} * 100.0
+                           / {_asize("toks", e)}) AS BIGINT) END
+                   AS avg_len_x100
+          FROM {tok_src} tk
+        ) f
     """
 
     # quality scoring: punctuation/diversity/length features -> score
+    punct = ("length(regexp_replace(text, '[a-z0-9 ]', ''))" if e == "s"
+             else "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))")
     q["quality_score"] = f"""
         SELECT doc_id,
                CAST(n_chars AS BIGINT) AS n_chars,
@@ -224,15 +267,14 @@ def spark_sql_queries() -> dict:
                END, 6) AS quality
         FROM (
           SELECT doc_id, n_chars,
-                 size(toks) AS n_tok,
-                 size(array_distinct(toks)) AS n_distinct,
-                 length(regexp_replace(text, '[a-z0-9 ]', '')) AS n_punct
-          FROM (SELECT doc_id, n_chars, text, {toks_s} AS toks
-                FROM documents) t
-        )
+                 {_asize("toks", e)} AS n_tok,
+                 {_asize(_adistinct("toks", e), e)} AS n_distinct,
+                 {punct} AS n_punct
+          FROM {tok_src} tk
+        ) f
     """
 
-    # corpus token statistics per source (explode + two-level agg)
+    # corpus token statistics per source
     q["token_stats"] = f"""
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -240,151 +282,71 @@ def spark_sql_queries() -> dict:
                CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
                CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens
         FROM (
-          SELECT doc_id, source, size(toks) AS n_tok,
-                 size(array_distinct(toks)) AS n_distinct
-          FROM (SELECT doc_id, source, {toks_s} AS toks FROM documents) t
-        )
+          SELECT doc_id, source, {_asize("toks", e)} AS n_tok,
+                 {_asize(_adistinct("toks", e), e)} AS n_distinct
+          FROM {tok_src} tk
+        ) f
         GROUP BY source
     """
 
     # rolling polynomial fingerprint (order-sensitive left fold, mod prime)
+    if e == "s":
+        fold = ("aggregate(thashes, 0L, "
+                "(acc, h) -> pmod(acc * 31 + h, 2147483647))")
+    else:
+        fold = ("CAST(list_reduce(list_prepend(0, thashes), "
+                "(acc, h) -> (acc * 31 + h) % 2147483647) AS BIGINT)")
     q["doc_fingerprint"] = f"""
-        SELECT doc_id,
-               aggregate({_xform(toks_s, f't -> {_hash32("t", "s")}', 's')},
-                         0L,
-                         (acc, h) -> pmod(acc * 31 + h, 2147483647))
-                 AS fingerprint
-        FROM documents
+        SELECT doc_id, {fold} AS fingerprint
+        FROM {tok_src} th
     """
-
     return q
+
+
+def spark_sql_queries() -> dict:
+    """name -> Spark SQL over the registered views (+ documents_tok)."""
+    return _build("s")
 
 
 def duckdb_oracle_queries() -> dict:
     """name -> DuckDB SQL with identical semantics (the correctness twin)."""
-    q = {}
-    q["dedup_exact"] = """
-        SELECT md5(text) AS text_md5,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
-        FROM documents
-        GROUP BY md5(text)
+    return _build("d")
+
+
+_TOK_CACHE_KEY = "_t2p_tok_sf"
+
+
+def ensure_documents_tok(spark: SparkSession) -> None:
+    """Materialize+cache the token/hash-augmented documents projection.
+
+    Without this, Catalyst's CollapseProject inlines the tokenization into
+    every array-lambda element access downstream — the regex split then
+    reruns once per shingle/bit access (measured 10-30x blowup at sf0.1).
+    The cached view is small (tokens ~= text size) and every textkit query
+    reuses it.
     """
-    q["minhash_signatures"] = _minhash_select("d")
-    # small-data oracle may use the OR-join form — same result set
-    q["dedup_minhash_lsh"] = f"""
-        WITH sigs AS ({_minhash_select('d')})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
-           OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
-           OR (a.sig_4 = b.sig_4 AND a.sig_5 = b.sig_5)
-           OR (a.sig_6 = b.sig_6 AND a.sig_7 = b.sig_7)
-    """
-    hashes_d = _xform(_tokens("text", "d"), f"t -> {_hash32('t', 'd')}", "d")
-    q["simhash_clusters"] = f"""
-        SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
-        FROM (SELECT doc_id, {_simhash_expr(hashes_d, 'd')} AS simhash
-              FROM documents) t
-        GROUP BY simhash
-    """
-    toks_d = _tokens("text", "d")
-    sh4_d = _adistinct(_shingles("toks", 4, "d"), "d")
-    q["ngram_jaccard_pairs"] = f"""
-        WITH docsh AS (
-          SELECT doc_id, sh FROM (
-            SELECT doc_id, {sh4_d} AS sh
-            FROM (SELECT doc_id, {toks_d} AS toks FROM documents) t
-          ) s WHERE len(sh) > 0
-        ),
-        tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
-        sizes AS (SELECT doc_id, len(sh) AS n FROM docsh),
-        common AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_common
-          FROM tok a JOIN tok b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               ROUND(CAST(n_common AS DOUBLE) /
-                     (sa.n + sb.n - n_common), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
-    """
-    stop = "('the','a','an','and','of','to','in','is','it','on')"
-    q["lang_id"] = f"""
-        SELECT doc_id,
-               CASE WHEN n_tok = 0 THEN 'empty'
-                    WHEN stop_cnt * 10 >= n_tok THEN 'en_like'
-                    WHEN avg_len_x100 > 650 THEN 'long_token'
-                    ELSE 'other' END AS lang_pred,
-               CAST(n_tok AS BIGINT) AS n_tokens,
-               ROUND(CASE WHEN n_tok = 0 THEN 0.0
-                          ELSE CAST(stop_cnt AS DOUBLE) / n_tok END, 6)
-                 AS stopword_ratio
-        FROM (
-          SELECT doc_id,
-                 len(toks) AS n_tok,
-                 len(list_filter(toks, t -> t IN {stop})) AS stop_cnt,
-                 CASE WHEN len(toks) = 0 THEN 0
-                      ELSE CAST(FLOOR(CAST(list_sum(list_transform(toks,
-                             t -> length(t))) AS DOUBLE) * 100.0
-                           / len(toks)) AS BIGINT)
-                      END AS avg_len_x100
-          FROM (SELECT doc_id, {toks_d} AS toks FROM documents) t
-        ) f
-    """
-    q["quality_score"] = f"""
-        SELECT doc_id,
-               CAST(n_chars AS BIGINT) AS n_chars,
-               CAST(n_tok AS BIGINT) AS n_tokens,
-               CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
-               CAST(n_punct AS BIGINT) AS n_punct,
-               ROUND(CASE WHEN n_tok = 0 THEN 0.0 ELSE
-                 (CAST(n_distinct AS DOUBLE) / n_tok) *
-                 (CASE WHEN n_tok >= 20 THEN 1.0 ELSE n_tok / 20.0 END) *
-                 (1.0 - CAST(n_punct AS DOUBLE) /
-                        (CAST(n_chars AS DOUBLE) + 1.0))
-               END, 6) AS quality
-        FROM (
-          SELECT doc_id, n_chars,
-                 len(toks) AS n_tok,
-                 len(list_distinct(toks)) AS n_distinct,
-                 length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
-          FROM (SELECT doc_id, n_chars, text, {toks_d} AS toks
-                FROM documents) t
-        ) f
-    """
-    q["token_stats"] = f"""
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-               CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
-               CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens
-        FROM (
-          SELECT doc_id, source, len(toks) AS n_tok,
-                 len(list_distinct(toks)) AS n_distinct
-          FROM (SELECT doc_id, source, {toks_d} AS toks FROM documents) t
-        ) f
-        GROUP BY source
-    """
-    q["doc_fingerprint"] = f"""
-        SELECT doc_id,
-               CAST(list_reduce(
-                 list_prepend(0, {_xform(toks_d, f't -> {_hash32("t", "d")}', 'd')}),
-                 (acc, h) -> (acc * 31 + h) % 2147483647
-               ) AS BIGINT) AS fingerprint
-        FROM documents
-    """
-    return q
+    df = spark.sql(
+        "SELECT doc_id, source, n_chars, text, "
+        f"{_tokens('text', 's')} AS toks, "
+        f"{_xform(_tokens('text', 's'), 't -> ' + _hash32('t', 's'), 's')}"
+        " AS thashes FROM documents"
+    ).cache()
+    df.createOrReplaceTempView("documents_tok")
 
 
 def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
+    if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
+        ensure_documents_tok(spark)
+    if name == "dedup_minhash_lsh":
+        spark.sql(_minhash_select("s")).createOrReplaceTempView("sigs_mat")
+    elif name == "ngram_jaccard_pairs":
+        sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
+        spark.sql(f"""
+            SELECT doc_id, sh FROM (
+              SELECT doc_id, {sh4} AS sh FROM documents_tok
+            ) s WHERE size(sh) > 0
+        """).createOrReplaceTempView("docsh_mat")
     return spark.sql(spark_sql_queries()[name])
