@@ -1,0 +1,64 @@
+"""Operator suite vs DuckDB oracle at sf0.001 — the driver's correctness
+gate replicated inside pytest (full run: tools/check_oracle.py)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(v):
+    import decimal
+
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+QUERIES = [
+    "q1_pricing_summary", "events_sessionize", "dedup_exact",
+    "minhash_signatures", "dedup_minhash_lsh", "simhash_clusters",
+    "ngram_jaccard_pairs", "lang_id", "quality_score", "doc_fingerprint",
+    "ann_topk_brute", "ann_topk_lsh", "extract_fixture_spans",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, con, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = fn(spark, SF)
+    srows = sdf.collect()
+    res = con.sql(sql)
+    assert sorted(sdf.columns) == sorted(res.columns)
+    assert _rowset(sdf.columns, srows) == _rowset(res.columns, res.fetchall())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
