@@ -20,6 +20,7 @@ from typing import List, Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from t2p_spark.io_tables import write_extracted
 from t2p_spark.pipeline import extract, extracted_metrics
 
 
@@ -69,11 +70,17 @@ def run_extract_job(
     docs = docs.drop("bucket")
 
     out = extract(docs, parallelism=parallelism, n_buckets=n_buckets)
-    out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    lineage = write_extracted(spark, out, output_path, n_buckets=n_buckets)
 
     written = spark.read.parquet(output_path)
     if done:
         written = written.filter(~F.col("bucket").isin(done))
-    metrics = extracted_metrics(written).withColumn("run_id", F.lit(run_id))
+    metrics = (
+        extracted_metrics(written)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("sink_format", F.lit(lineage["format"]))
+        .withColumn("snapshot_id",
+                    F.lit(lineage["snapshot_id"]).cast("long"))
+    )
     metrics.write.mode("append").parquet(metrics_path)
     return metrics
