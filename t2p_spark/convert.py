@@ -603,6 +603,16 @@ def convert_doc(aws_json: Dict, img_width: int, img_height: int,
         reading_order = layout_regions
     else:
         reading_order = text_regions
+        # crash parity (:1148): in word-order mode a table with cells but no
+        # words is serialized (:1198) without a reading-order group ->
+        # `None.add_RegionRef` AttributeError in the reference.
+        in_order = {id(obj) for obj in text_regions}
+        for table in tables.values():
+            if id(table) not in in_order:
+                raise AttributeError(
+                    "wordless table in word-order mode: reference crash "
+                    "path convert_aws.py:1148"
+                )
 
     # stages 7+8 fused: emit spans per top-level object, in reading order.
     # (The reference writes region XML in construction order and reorders via

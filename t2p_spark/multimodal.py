@@ -155,3 +155,143 @@ def media_table_from_docs(docs: DataFrame) -> DataFrame:
             )
 
     return with_dims.mapInArrow(_encode, schema=MEDIA_SCHEMA)
+
+
+# --- transform kernels -------------------------------------------------------
+
+RESIZED_ARROW = pa.schema([
+    ("media_id", pa.string()),
+    ("content", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_media(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Proportional downscale to max_side. Real resampling is stubbed
+    offline (PIL absent): the fake codec's header is rewritten and the
+    pseudo-pixel payload deterministically subsampled; unknown formats pass
+    through unchanged. The kernel shape (binary in -> binary out, Arrow
+    batches) is exactly what a PIL/libvips body would use."""
+
+    def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("content").to_pylist()
+            out_blobs, ws, hs = [], [], []
+            for blob in blobs:
+                if blob is None or blob[:6] != MAGIC:
+                    out_blobs.append(blob)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                w, h, c = struct.unpack(">IIH", blob[6:16])
+                scale = max(w, h) / max_side
+                if scale <= 1:
+                    nw, nh = w, h
+                    body = blob[16:]
+                else:
+                    nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+                    step = max(1, int(scale))
+                    body = blob[16::step]
+                out_blobs.append(
+                    MAGIC + struct.pack(">IIH", nw, nh, c) + body
+                )
+                ws.append(nw)
+                hs.append(nh)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(out_blobs, pa.binary()),
+                 pa.array(ws, pa.int32()), pa.array(hs, pa.int32())],
+                schema=RESIZED_ARROW,
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        _kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+FEATURES_ARROW = pa.schema([
+    ("media_id", pa.string()),
+    ("feature", pa.list_(pa.float32())),
+])
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Deterministic byte-histogram feature per media row (stand-in for a
+    real vision encoder — offline stub; the Arrow plumbing, batch shape and
+    array<float> output column are production-real and feed t2p_spark.ann)."""
+
+    def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("content").to_pylist()
+            feats = []
+            for blob in blobs:
+                body = (blob or b"")[16:]
+                hist = [0] * FEATURE_DIM
+                for b in body[:2048]:
+                    hist[b % FEATURE_DIM] += 1
+                total = max(1, sum(hist))
+                feats.append([round(v / total, 6) for v in hist])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(feats, pa.list_(pa.float32()))],
+                schema=FEATURES_ARROW,
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        _kernel, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 4,
+                 frame_bytes: int = 256) -> DataFrame:
+    """Sample every Nth fixed-size frame from a (fake) video payload:
+    one output row per sampled frame with its index. Real demuxing is
+    stubbed offline (ffmpeg absent); the explode-shaped kernel (1 row in ->
+    k rows out) is the production pattern."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+    out_arrow = pa.schema([
+        ("media_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame", pa.binary()),
+    ])
+
+    def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("content").to_pylist()
+            o_ids, o_idx, o_frames = [], [], []
+            for mid, blob in zip(ids, blobs):
+                body = (blob or b"")[16:]
+                n_frames = len(body) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    o_ids.append(mid)
+                    o_idx.append(i)
+                    o_frames.append(body[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_ids), pa.array(o_idx, pa.int32()),
+                 pa.array(o_frames, pa.binary())],
+                schema=out_arrow,
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        _kernel, schema=out_schema
+    )

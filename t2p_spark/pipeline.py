@@ -91,22 +91,14 @@ def extract(docs: DataFrame, parallelism: int | None = None,
 
 def extracted_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics aggregate (north_rule: per-partition
-    progress + extraction metrics for exact resume)."""
-    span_fp = F.xxhash64(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                "spans",
-                lambda s: F.concat_ws(
-                    "\x1e", s["kind"], s["text"], s["media_ref"],
-                    s["offset"].cast("string"),
-                ),
-            ),
-            "\x1d",
-        ),
-    )
+    progress + extraction metrics for exact resume).
+
+    Aggregates the kernel-computed ``span_fp`` column — the metrics pass
+    reads only pruned scalar columns, never the spans payload (re-hashing
+    the output would re-scan the whole corpus).
+    """
     return (
-        extracted.withColumn("_fp", span_fp)
+        extracted
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -118,6 +110,6 @@ def extracted_metrics(extracted: DataFrame) -> DataFrame:
             F.sum("n_spans").alias("n_spans"),
             # order-insensitive, overflow-free checksum over per-doc
             # span fingerprints (ANSI mode forbids wrapping sum)
-            F.expr("bit_xor(_fp)").alias("span_checksum"),
+            F.expr("bit_xor(span_fp)").alias("span_checksum"),
         )
     )

@@ -32,6 +32,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("error", T.StringType()),
     T.StructField("n_blocks", T.IntegerType()),
     T.StructField("n_spans", T.IntegerType()),
+    T.StructField("span_fp", T.LongType()),
 ])
 
 # --- Textract response (SURVEY.md §1.1 / FIXTURES.md §2) --------------------

@@ -126,3 +126,37 @@ def test_simple_doc_spans():
         ("word", f"100,100 301,100 301,151 100,151{US}hello{US}printed", "", 2),
         ("word", f"350,100 550,100 550,151 350,151{US}world{US}handwritten-cursive", "", 3),
     ]
+
+
+def test_quarantine_wordless_table_in_word_order_mode():
+    # all lines in cells (no layouts, no dummies) + a second wordless table:
+    # the reference serializes it but crashes building its reading-order
+    # group (convert_aws.py:1148) -> quarantine
+    doc = {"Blocks": [
+        _block("p", "PAGE"),
+        _block("t1", "TABLE",
+               geom={"BoundingBox": {"Left": 0.0, "Top": 0.0, "Width": 0.4, "Height": 0.2}},
+               Relationships=[{"Type": "CHILD", "Ids": ["c1"]}]),
+        _block("c1", "CELL", RowIndex=1, ColumnIndex=1, RowSpan=1, ColumnSpan=1,
+               geom={"BoundingBox": {"Left": 0.0, "Top": 0.0, "Width": 0.4, "Height": 0.2}},
+               Relationships=[{"Type": "CHILD", "Ids": ["w1"]}]),
+        _block("l1", "LINE", Text="x",
+               geom={"BoundingBox": {"Left": 0.0, "Top": 0.0, "Width": 0.1, "Height": 0.05}},
+               Relationships=[{"Type": "CHILD", "Ids": ["w1"]}]),
+        _block("w1", "WORD", Text="x",
+               geom={"BoundingBox": {"Left": 0.0, "Top": 0.0, "Width": 0.1, "Height": 0.05}}),
+        _block("t2", "TABLE",
+               geom={"BoundingBox": {"Left": 0.5, "Top": 0.5, "Width": 0.3, "Height": 0.2}},
+               Relationships=[{"Type": "CHILD", "Ids": ["c2"]}]),
+        _block("c2", "CELL", RowIndex=1, ColumnIndex=1, RowSpan=1, ColumnSpan=1,
+               geom={"BoundingBox": {"Left": 0.5, "Top": 0.5, "Width": 0.3, "Height": 0.2}}),
+    ]}
+    status, _, err = convert_doc_safe(doc, 100, 100)
+    assert status == "quarantined" and "1148" in err
+
+    # sanity: without the wordless table the same doc converts fine in
+    # word-order mode (table + cell + line + word spans)
+    doc_ok = {"Blocks": doc["Blocks"][:5]}
+    status, spans, err = convert_doc_safe(doc_ok, 100, 100)
+    assert status == "ok" and [s[0] for s in spans] == [
+        "table", "cell", "line", "word"]

@@ -88,3 +88,34 @@ def test_decode_media_stub():
     assert (img["width"], img["height"], img["channels"]) == (10, 20, 3)
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+
+
+def test_resize_and_features_and_frames(spark):
+    from t2p_spark.multimodal import (
+        frame_sample, media_features, media_meta, resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    media = media_table_from_docs(docs)
+
+    resized = resize_media(media, max_side=512).collect()
+    assert all(r["width"] is None or max(r["width"], r["height"]) <= 512
+               for r in resized)
+    # resized payloads still parse as valid fake images
+    meta2 = media_meta(
+        spark.createDataFrame(
+            [(r["media_id"], None, None, r["content"]) for r in resized],
+            schema=media.schema,
+        )
+    ).collect()
+    assert all(m["valid"] for m in meta2)
+
+    feats = media_features(media).collect()
+    assert all(len(f["feature"]) == 8 for f in feats)
+    assert all(abs(sum(f["feature"]) - 1.0) < 0.01 for f in feats)
+
+    frames = frame_sample(media, every_n=2, frame_bytes=128).collect()
+    assert len(frames) > 8  # explode: more rows out than in
+    assert all(f["frame_idx"] % 2 == 0 for f in frames)
