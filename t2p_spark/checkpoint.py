@@ -59,18 +59,23 @@ def run_extract_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = spark.read.parquet(input_path)
 
+    # a bucket-partitioned input (FIXTURES.md §1 layout) gives real partition
+    # pruning on resume AND a shuffle-free clustered write
+    clustered = "bucket" in docs.columns
+
     done: List[int] = completed_buckets(spark, metrics_path) if resume else []
-    docs = docs.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    )
+    if not clustered:
+        docs = docs.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
     if done:
-        # partition-pruning-friendly: a bucketed/Iceberg source scans only
-        # the remaining buckets
+        # on a clustered input this prunes bucket directories at the scan
         docs = docs.filter(~F.col("bucket").isin(done))
     docs = docs.drop("bucket")
 
     out = extract(docs, parallelism=parallelism, n_buckets=n_buckets)
-    lineage = write_extracted(spark, out, output_path, n_buckets=n_buckets)
+    lineage = write_extracted(spark, out, output_path, n_buckets=n_buckets,
+                              clustered=clustered)
 
     written = spark.read.parquet(output_path)
     if done:

@@ -391,6 +391,56 @@ def mutate_fixture(aws_json: Dict, seed: int) -> Dict:
     return out
 
 
+_FIXTURE_CACHE: Optional[List] = None
+
+
+def _load_fixtures() -> List:
+    global _FIXTURE_CACHE
+    if _FIXTURE_CACHE is None:
+        import os
+
+        from t2p_spark.fixtures import REF_JSON_DIR, fixture_ids, golden_meta
+
+        fixtures = []
+        for fid in fixture_ids():
+            meta = golden_meta(fid)
+            with open(os.path.join(REF_JSON_DIR, f"{fid}.json"),
+                      encoding="utf-8") as f:
+                fixtures.append((json.load(f), meta))
+        _FIXTURE_CACHE = fixtures
+    return _FIXTURE_CACHE
+
+
+def row_for_index(i: int, seed: int = 42,
+                  chunk_size: Optional[int] = None,
+                  quarantine_ratio: float = 0.02,
+                  skew_ratio: float = 0.01) -> Tuple[str, List]:
+    """The i-th corpus row — a pure function of (i, seed), so corpus
+    generation distributes over the cluster (tools/make_corpus.py runs it
+    inside mapInArrow; an undistributable generator is useless at target
+    scale)."""
+    fixtures = _load_fixtures()
+    doc_seed = seed * 1_000_003 + i
+    r = (i * 2654435761) % 1000 / 1000.0  # deterministic mix selector
+    if r < quarantine_ratio:
+        doc_id = f"bad-{i:08d}"
+        aws, w, h, ref = generate_quarantine_doc(doc_id, doc_seed)
+    elif r < quarantine_ratio + skew_ratio:
+        doc_id = f"skew-{i:08d}"
+        aws, w, h, ref = generate_skew_doc(doc_id, doc_seed,
+                                           n_lines=2000 + (i % 3) * 2000)
+    elif r < quarantine_ratio + skew_ratio + 0.125 and fixtures:
+        src, meta = fixtures[i % len(fixtures)]
+        doc_id = f"mut-{i:08d}"
+        aws = mutate_fixture(src, doc_seed)
+        w, h, ref = meta["width"], meta["height"], meta["media_ref"]
+    else:
+        doc_id = f"gen-{i:08d}"
+        aws, w, h, ref = generate_doc(doc_id, doc_seed)
+    return doc_row(doc_id, json.dumps(aws, separators=(",", ":")),
+                   w, h, ref, chunk_size)
+
+
 def corpus_rows(n_docs: int, seed: int = 42, chunk_size: Optional[int] = None,
                 quarantine_ratio: float = 0.02,
                 skew_ratio: float = 0.01) -> Iterator[Tuple[str, List]]:
@@ -399,33 +449,5 @@ def corpus_rows(n_docs: int, seed: int = 42, chunk_size: Optional[int] = None,
     Deterministic in (n_docs, seed). Mix: ~1/8 fixture mutants, skew and
     quarantine docs per the ratios, remainder generated DAGs.
     """
-    from t2p_spark.fixtures import REF_JSON_DIR, fixture_ids, golden_meta
-    import os
-
-    fixtures = []
-    for fid in fixture_ids():
-        meta = golden_meta(fid)
-        with open(os.path.join(REF_JSON_DIR, f"{fid}.json"),
-                  encoding="utf-8") as f:
-            fixtures.append((json.load(f), meta))
-
     for i in range(n_docs):
-        doc_seed = seed * 1_000_003 + i
-        r = (i * 2654435761) % 1000 / 1000.0  # deterministic mix selector
-        if r < quarantine_ratio:
-            doc_id = f"bad-{i:08d}"
-            aws, w, h, ref = generate_quarantine_doc(doc_id, doc_seed)
-        elif r < quarantine_ratio + skew_ratio:
-            doc_id = f"skew-{i:08d}"
-            aws, w, h, ref = generate_skew_doc(doc_id, doc_seed,
-                                               n_lines=2000 + (i % 3) * 2000)
-        elif r < quarantine_ratio + skew_ratio + 0.125 and fixtures:
-            src, meta = fixtures[i % len(fixtures)]
-            doc_id = f"mut-{i:08d}"
-            aws = mutate_fixture(src, doc_seed)
-            w, h, ref = meta["width"], meta["height"], meta["media_ref"]
-        else:
-            doc_id = f"gen-{i:08d}"
-            aws, w, h, ref = generate_doc(doc_id, doc_seed)
-        yield doc_row(doc_id, json.dumps(aws, separators=(",", ":")),
-                      w, h, ref, chunk_size)
+        yield row_for_index(i, seed, chunk_size, quarantine_ratio, skew_ratio)

@@ -1,6 +1,10 @@
-"""Materialize a deterministic synthetic docs corpus to parquet.
+"""Materialize a deterministic synthetic docs corpus to parquet, distributed.
 
     python tools/make_corpus.py --out /tmp/corpus --n-docs 2000 [--seed 42]
+
+Generation runs inside a mapInArrow kernel over spark.range(n_docs) — each
+row is a pure function of (index, seed) (t2p_spark.synth.row_for_index), so
+the generator scales with the cluster like everything else.
 """
 
 from __future__ import annotations
@@ -17,40 +21,59 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=64)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    import pyarrow as pa
 
-    from t2p_spark.schema import DOCS_SCHEMA
-    from t2p_spark.synth import corpus_rows
+    seed = args.seed
+
+    def gen_kernel(batches):
+        from t2p_spark.synth import row_for_index
+
+        span_type = pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32()),
+        ]))
+        for batch in batches:
+            ids, spans = [], []
+            for i in batch.column("id").to_pylist():
+                doc_id, row_spans = row_for_index(int(i), seed,
+                                                  chunk_size=1 << 20)
+                ids.append(doc_id)
+                spans.append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in row_spans
+                ])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()),
+                 pa.array(spans, span_type)],
+                names=["doc_id", "spans"],
+            )
 
     spark = (
         SparkSession.builder.appName("t2p-make-corpus")
-        .config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .getOrCreate()
     )
-    # generate driver-side in chunks to bound memory, write append
-    chunk = 1000
-    written = 0
-    mode = "overwrite"
-    buf = []
-    for row in corpus_rows(args.n_docs, seed=args.seed, chunk_size=1 << 20):
-        buf.append(row)
-        if len(buf) >= chunk:
-            spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
-                args.partitions
-            ).write.mode(mode).parquet(args.out)
-            written += len(buf)
-            buf, mode = [], "append"
-            print(f"wrote {written}/{args.n_docs}")
-    if buf:
-        spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
-            max(1, args.partitions // 4)
-        ).write.mode(mode).parquet(args.out)
-        written += len(buf)
-    print(f"done: {written} docs -> {args.out}")
+    import pyspark.sql.functions as F
+
+    # input table layout per FIXTURES.md §1: partitioned by bucket(doc_id)
+    # (Iceberg `bucket(N, doc_id)`; dir-per-bucket on the parquet fallback).
+    # A bucketed input keeps the whole extract job a single pipelined stage.
+    (spark.range(args.n_docs)
+     .repartition(args.partitions)
+     .mapInArrow(
+         gen_kernel,
+         "doc_id string, spans array<struct<kind:string,text:string,"
+         "media_ref:string,offset:int>>")
+     .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
+     .repartition(64, "bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(args.out))
+    n = spark.read.parquet(args.out).count()
+    print(f"done: {n} docs -> {args.out}")
     spark.stop()
     return 0
 
