@@ -31,23 +31,45 @@ def sf_of(path: str) -> float:
 
 
 def ensure_corpus(spark, n_docs: int, path: str) -> None:
+    """Distributed generation, bucket-partitioned layout (FIXTURES.md §1)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    from t2p_spark.schema import DOCS_SCHEMA
-    from t2p_spark.synth import corpus_rows
+    import pyarrow as pa
+    import pyspark.sql.functions as F
 
-    buf, mode = [], "overwrite"
-    for row in corpus_rows(n_docs, seed=SEED, chunk_size=1 << 20):
-        buf.append(row)
-        if len(buf) >= 1000:
-            spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
-                CPUS
-            ).write.mode(mode).parquet(path)
-            buf, mode = [], "append"
-    if buf:
-        spark.createDataFrame(buf, schema=DOCS_SCHEMA).repartition(
-            max(4, CPUS // 4)
-        ).write.mode(mode).parquet(path)
+    seed = SEED
+
+    def gen_kernel(batches):
+        from t2p_spark.synth import row_for_index
+
+        span_type = pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32()),
+        ]))
+        for batch in batches:
+            ids, spans = [], []
+            for i in batch.column("id").to_pylist():
+                doc_id, row_spans = row_for_index(int(i), seed,
+                                                  chunk_size=1 << 20)
+                ids.append(doc_id)
+                spans.append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in row_spans
+                ])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, span_type)],
+                names=["doc_id", "spans"],
+            )
+
+    (spark.range(n_docs)
+     .repartition(CPUS * 2)
+     .mapInArrow(
+         gen_kernel,
+         "doc_id string, spans array<struct<kind:string,text:string,"
+         "media_ref:string,offset:int>>")
+     .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"))
+     .repartition(64, "bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
 def main() -> int:
@@ -63,14 +85,27 @@ def main() -> int:
         .config("spark.driver.memory", "24g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf = sf_of(SF_DIR)
 
-    # warmup (session/JIT)
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warmup: JVM JIT + the Python worker pool (pandas/pyarrow imports)
+    import pyarrow as pa
+
+    def _warm(batches):
+        import t2p_spark.kernel  # noqa: F401
+        n = 0
+        for b in batches:
+            n += b.num_rows
+        yield pa.RecordBatch.from_arrays([pa.array([n], pa.int64())],
+                                         names=["n"])
+
+    (spark.range(10000).repartition(CPUS * 2)
+     .selectExpr("cast(id as string) doc_id")
+     .mapInArrow(_warm, "n long").count())
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -87,9 +122,9 @@ def main() -> int:
     n_docs = max(200, int(20000 * sf))
     corpus = f"/tmp/t2p_bench_corpus_{n_docs}_{SEED}"
     ensure_corpus(spark, n_docs, corpus)
-    docs = spark.read.parquet(corpus)
+    docs = spark.read.parquet(corpus).drop("bucket")
     t0 = time.monotonic()
-    extracted = extract(docs, parallelism=CPUS)
+    extracted = extract(docs)  # bucketed scan partitions; zero shuffle
     n_ok = extracted.filter("status = 'ok'").count()
     dt_extract = time.monotonic() - t0
     timings["extract_pipeline"] = round(dt_extract, 3)
