@@ -81,6 +81,39 @@ def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return out.select("doc_id", "status", "n_blocks", "n_spans").orderBy("doc_id")
 
 
+def multimodal_meta(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Binary-media plumbing: docs -> media table (fake codec) -> vectorized
+    header parse. Rows-only check (content is generated in-flight)."""
+    from t2p_spark.multimodal import media_meta, media_table_from_docs
+
+    media = media_table_from_docs(_fixture_docs(spark))
+    return media_meta(media).orderBy("media_id")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Deterministic byte-histogram features + frame sampling over the
+    media table (offline-stub codec; production Arrow batch shapes)."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.multimodal import frame_sample, media_features, \
+        media_table_from_docs
+
+    media = media_table_from_docs(_fixture_docs(spark))
+    feats = media_features(media)
+    frames = frame_sample(media, every_n=4).groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
 EXTRACT_FIXTURES_ORACLE = f"""
     SELECT doc_id,
            CAST(s->>0 AS VARCHAR) AS kind,
@@ -110,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_fixture_spans": extract_fixture_spans,
         "extract_synth_corpus": extract_synth_corpus,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
     }
     for name in RELATIONAL_SQL:
         out[name] = (lambda n: lambda spark, sf: run_relational(spark, sf, n))(name)
