@@ -66,8 +66,9 @@ def extract_fixture_spans(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Deterministic 120-doc synthetic corpus through the full pipeline;
-    returns per-doc status/metrics (rows-only check: the per-doc span
-    equality vs the pure-Python oracle is asserted in pytest instead)."""
+    returns per-doc status/metrics. Oracle: the committed pure-Python
+    verdict for the same corpus (tools/make_synth_golden.py), read by
+    DuckDB — Spark kernel == pure-Python converter, hash-checked."""
     import pyspark.sql.functions as F
 
     from t2p_spark.pipeline import extract
@@ -83,7 +84,9 @@ def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 def multimodal_meta(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Binary-media plumbing: docs -> media table (fake codec) -> vectorized
-    header parse. Rows-only check (content is generated in-flight)."""
+    header parse. Oracle: the header fields are pure functions of
+    (doc_id, W, H, media_ref), all present in the committed goldens —
+    derived in DuckDB SQL (MULTIMODAL_META_ORACLE)."""
     from t2p_spark.multimodal import media_meta, media_table_from_docs
 
     media = media_table_from_docs(_fixture_docs(spark))
@@ -92,7 +95,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Deterministic byte-histogram features + frame sampling over the
-    media table (offline-stub codec; production Arrow batch shapes)."""
+    media table (offline-stub codec; production Arrow batch shapes).
+    Oracle: the histogram and frame count are pure functions of
+    (len(media_id), W, H) — replayed exactly in DuckDB SQL
+    (MULTIMODAL_FEATURES_ORACLE)."""
     import pyspark.sql.functions as F
 
     from t2p_spark.multimodal import frame_sample, media_features, \
@@ -107,8 +113,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         feats.join(frames, "media_id", "left")
         .select(
             "media_id",
-            F.round(F.element_at("feature", 1), 6).alias("f0"),
-            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
         )
         .orderBy("media_id")
     )
@@ -125,6 +131,60 @@ EXTRACT_FIXTURES_ORACLE = f"""
       FROM read_json('{GOLDEN_GLOB}',
                      columns={{'doc_id': 'VARCHAR', 'spans': 'JSON[]'}})
     ) t
+"""
+
+SYNTH_GOLDEN = os.path.join(REPO, "tests", "golden_synth",
+                            "synth_corpus_120.json")
+
+# Committed pure-Python verdict for the identical seeded corpus
+# (tools/make_synth_golden.py; regenerate with --check to detect drift).
+EXTRACT_SYNTH_ORACLE = f"""
+    SELECT doc_id, status, n_blocks, n_spans
+    FROM read_json('{SYNTH_GOLDEN}',
+                   columns={{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
+                             'n_blocks': 'INTEGER', 'n_spans': 'INTEGER'}})
+"""
+
+_GOLDEN_DIMS = f"""
+    read_json('{GOLDEN_GLOB}',
+              columns={{'doc_id': 'VARCHAR', 'width': 'INTEGER',
+                        'height': 'INTEGER', 'media_ref': 'VARCHAR'}})
+"""
+
+# The fake codec's header fields are pure functions of (W, H): format is
+# fixed, channels=3, payload = 16-byte header + min(W*H*3, 4096) bytes
+# (t2p_spark/multimodal.py encode_fake_image).
+MULTIMODAL_META_ORACLE = f"""
+    SELECT doc_id || '#' || media_ref AS media_id,
+           't2pimg' AS format,
+           width, height,
+           3 AS channels,
+           CAST(16 + LEAST(width * height * 3, 4096) AS BIGINT) AS n_bytes,
+           TRUE AS valid
+    FROM {_GOLDEN_DIMS}
+"""
+
+# Byte i of the fake payload body is (seed*1103515245 + i*12345) % 256 with
+# seed = len(media_id); the feature kernel histograms body[:2048] into 8
+# buckets by byte value % 8, and frame_sample(every_n=4, frame_bytes=256)
+# emits ceil((n_body // 256) / 4) frames. All replayable in exact integer
+# arithmetic from (doc_id, media_ref, W, H).
+MULTIMODAL_FEATURES_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id || '#' || media_ref AS media_id,
+             LEAST(width * height * 3, 4096) AS n_body,
+             length(doc_id || '#' || media_ref) AS seed
+      FROM {_GOLDEN_DIMS}
+    )
+    SELECT media_id,
+           ROUND(
+             CAST(len(list_filter(
+               range(0, LEAST(n_body, 2048)),
+               i -> ((seed * 1103515245 + i * 12345) % 256) % 8 = 0
+             )) AS DOUBLE) / GREATEST(1, LEAST(n_body, 2048)),
+             6) AS f0,
+           CAST((n_body // 256 + 3) // 4 AS BIGINT) AS n_frames
+    FROM m
 """
 
 
@@ -160,10 +220,13 @@ def oracle_sql() -> dict[str, str]:
     from t2p_spark.relational import RELATIONAL_SQL
     from t2p_spark.textkit import duckdb_oracle_queries
 
-    out = {"extract_fixture_spans": EXTRACT_FIXTURES_ORACLE}
+    out = {
+        "extract_fixture_spans": EXTRACT_FIXTURES_ORACLE,
+        "extract_synth_corpus": EXTRACT_SYNTH_ORACLE,
+        "multimodal_meta": MULTIMODAL_META_ORACLE,
+        "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
+    }
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
     out.update(duckdb_oracle_queries()) # engineered twins
     out.update(ann_sql("d"))
-    # extract_synth_corpus: intentionally no oracle (non-SQL-expressible
-    # converter); rows-only check + pytest spark==oracle sweep.
     return out

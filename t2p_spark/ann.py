@@ -28,6 +28,11 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 
 DIM = 64
+# N_PLANES sizes the LSH bucket space: 2^N_PLANES buckets. 8 (=256 buckets)
+# matches the oracle-scale corpus (~2k vectors -> ~8 vecs/bucket). Scale
+# preset: at 10^9 vectors target ~1k vecs/bucket -> N_PLANES=20; recall at
+# scale additionally needs multi-probe (flip 1-2 lowest-margin bits) or
+# multiple independent tables — single-probe recall degrades as planes grow.
 N_PLANES = 8
 TOP_K = 10
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -96,10 +101,16 @@ def ann_sql(engine: str) -> dict:
         FROM ({base}) b
         GROUP BY bucket
     """
+    # Explicit BROADCAST(q): the {N_QUERIES}-row query side must ALWAYS be
+    # the build side. Without the hint the build side is stats-chosen, and
+    # at small SF Catalyst broadcasts the *corpus* — a plan that OOMs the
+    # moment the corpus outgrows the broadcast threshold. (Spark-only hint;
+    # DuckDB parses it as a plain comment.)
+    hint = f"/*+ BROADCAST(q) */ " if engine == "s" else ""
     q["ann_topk_brute"] = f"""
         WITH vecs AS ({base}),
         scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS cosine
           FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
           WHERE q.vec_id < {N_QUERIES}

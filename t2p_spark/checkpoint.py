@@ -64,7 +64,29 @@ def run_extract_job(
     clustered = "bucket" in docs.columns
 
     done: List[int] = completed_buckets(spark, metrics_path) if resume else []
-    if not clustered:
+    if clustered:
+        # fail fast if the input's bucket layout disagrees with n_buckets:
+        # the `done` list is output buckets (mod n_buckets); applying it to a
+        # differently-bucketed input would silently skip unfinished documents
+        # on resume. A small sample catches a mismatched modulus with
+        # near-certainty (each row agrees by luck with prob ~1/n_buckets).
+        mism = (
+            docs.select("doc_id", "bucket").limit(200)
+            .filter(
+                F.col("bucket")
+                != F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"input bucket column does not match pmod(xxhash64(doc_id), "
+                f"{n_buckets}) on {mism} sampled rows — the input was "
+                f"clustered with a different bucket count; resume pruning "
+                f"would skip documents. Re-cluster the input or pass the "
+                f"matching --n-buckets."
+            )
+    else:
         docs = docs.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
@@ -77,7 +99,15 @@ def run_extract_job(
     lineage = write_extracted(spark, out, output_path, n_buckets=n_buckets,
                               clustered=clustered)
 
-    written = spark.read.parquet(output_path)
+    # read the sink back through the same abstraction it was written with:
+    # metrics must attest DURABLE data (that is what makes resume exact), and
+    # on the Iceberg path the parquet directory read would fail outright.
+    # Columns are pruned to scalars + the kernel-computed span_fp — the spans
+    # payload is never re-read.
+    if lineage["format"] == "iceberg":
+        written = spark.table(lineage["table"])
+    else:
+        written = spark.read.parquet(output_path)
     if done:
         written = written.filter(~F.col("bucket").isin(done))
     metrics = (

@@ -52,7 +52,7 @@ def ensure_extracted_table(spark: SparkSession, name: str,
           spans ARRAY<STRUCT<kind: STRING, text: STRING,
                              media_ref: STRING, offset: INT>>,
           status STRING, error STRING, n_blocks INT, n_spans INT,
-          bucket INT
+          span_fp BIGINT, bucket INT
         ) USING iceberg
         PARTITIONED BY (bucket({n_buckets}, doc_id))
     """)

@@ -90,6 +90,10 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         else:
             try:
                 aws = json.loads(payload)
+                if not isinstance(aws, dict):
+                    raise ValueError(
+                        f"payload is JSON {type(aws).__name__}, not an object"
+                    )
                 n_blocks = len(aws.get("Blocks") or [])
             except ValueError as exc:
                 status, spans, error = "quarantined", [], f"JSONDecodeError: {exc}"
@@ -138,16 +142,25 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 def extract_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow entry point.
 
-    The cycle GC is disabled for the worker: a many-block document inflates
-    to millions of parsed-JSON dicts per batch and CPython's generational
-    collector rescans them repeatedly (measured 2-4x wall-time variance).
-    Everything the kernel allocates is acyclic, so refcounting alone frees
-    it; cyclic garbage from other libraries is bounded per worker.
+    The cycle GC is disabled *during* batch conversion: a many-block document
+    inflates to millions of parsed-JSON dicts per batch and CPython's
+    generational collector rescans them repeatedly (measured 2-4x wall-time
+    variance). convert.py's object graph DOES contain parent/child reference
+    cycles (Word<->Line, Cell<->Table, ...), so refcounting alone does not
+    free it — a full ``gc.collect()`` runs after each batch to reclaim the
+    per-document cycles, and gc is re-enabled when the iterator is exhausted
+    so long-lived reused workers never accumulate garbage.
     """
     import gc
 
+    gc_was_enabled = gc.isenabled()
     gc.disable()
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
-        yield _convert_batch(batch)
+    try:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            yield _convert_batch(batch)
+            gc.collect()
+    finally:
+        if gc_was_enabled:
+            gc.enable()

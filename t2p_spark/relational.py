@@ -129,13 +129,20 @@ RELATIONAL_SQL = {
         GROUP BY 1, 2
     """,
     # anti-join + semi-join coverage: customers with orders but no high-value
-    # order.
+    # order. NOT EXISTS (not NOT IN): o_custkey is non-null here, and NOT IN
+    # plans as a null-aware anti join that REQUIRES broadcasting the subquery
+    # side — at 100x scale the subquery no longer fits in a broadcast and the
+    # plan degrades to a nested loop. NOT EXISTS plans as a plain shuffled
+    # LeftAnti hash join.
     "customers_no_big_order": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders)
-          AND c_custkey NOT IN (
-            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        WHERE EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
           )
     """,
     # scalar/extract functions + conditional agg over the JSON props column.
@@ -151,20 +158,31 @@ RELATIONAL_SQL = {
 }
 
 
+_REGISTERED: dict = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the star-schema tables as temp views.
+    """Register the star-schema tables as temp views (idempotent per session).
 
     Single-file local tables scan as ONE partition, which serializes every
     downstream stage; a real deployment has thousands of splits. Repartition
     small scans up to the session parallelism — results are unaffected
     (queries here are order-insensitive), plans get genuine parallelism.
+
+    Registration is cached per (session, sf_dir): the bench loop calls every
+    query through here, and re-reading + repartitioning ten tables per query
+    measures setup, not the query.
     """
+    key = (id(spark), sf_dir)
+    if _REGISTERED.get(key):
+        return
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
+    _REGISTERED[key] = True
 
 
 def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -45,13 +45,28 @@ def extract_stream(docs_stream: DataFrame) -> DataFrame:
 def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
                        checkpoint_path: str, available_now: bool = True):
     """availableNow=True drains the current table once (backfill mode);
-    False tails it continuously."""
+    False tails it continuously.
+
+    Exactly-once: foreachBatch is at-least-once — on retry after a partial
+    write the whole microbatch re-runs — so the sink must dedupe on batch_id.
+    Partitioning by (batch_id, bucket) with dynamic partition overwrite makes
+    a retry rewrite exactly its own batch_id partitions and nothing else:
+    idempotent per microbatch, append across microbatches.
+    """
     out = extract_stream(read_docs_stream(spark, input_path))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
-        ).write.mode("append").partitionBy("bucket").parquet(output_path))
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (batch_df
+         .withColumn("batch_id", F.lit(batch_id))
+         .withColumn(
+             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+         )
+         .write.mode("overwrite")
+         .partitionBy("batch_id", "bucket")
+         .parquet(output_path))
 
     writer = (
         out.writeStream.foreachBatch(_sink)

@@ -12,8 +12,14 @@ Three families, all seeded (no wall clock, no external data):
   C. skew      — pathological many-block documents (north_rule) and
                  quarantine docs (dangling words, wordless tables).
 
-Every document is convertible by ``t2p_spark.convert.convert_doc_safe``;
-quarantine docs are *intentionally* marked by doc_id prefix ``bad-``.
+Quarantine composition (measured, asserted exactly in
+tests/test_synth_sweep.py): every ``bad-`` doc quarantines by construction,
+AND a fraction of ``gen-`` docs (~5% at 2000 docs) quarantine via the
+reference's *faithful* table-splice crash path — a Key/Value or de-nested
+layout as the table's word-order predecessor raises ValueError in the
+reference (convert_aws.py:931-936), which this engine maps to quarantine
+per SURVEY §2.8. The pure-Python oracle and the Spark kernel agree on the
+exact per-doc verdict; ``mut-`` and ``skew-`` docs always convert.
 """
 
 from __future__ import annotations

@@ -49,11 +49,16 @@ def _shingles(tokens: str, n: int, engine: str) -> str:
             f"ELSE CAST([] AS VARCHAR[]) END")
 
 
-def _hash32(expr: str, engine: str) -> str:
-    """Unsigned 32-bit integer from the md5 prefix — identical both engines."""
+def _hash60(expr: str, engine: str) -> str:
+    """Unsigned 60-bit integer from the md5 prefix — identical both engines.
+
+    60 bits (15 hex chars) rather than 64: the value must fit a *signed*
+    BIGINT in both engines (Spark CONV and DuckDB '0x' cast both return
+    signed 64-bit), and 60 = 4 simhash bands x 15 bits.
+    """
     if engine == "s":
-        return f"CAST(CONV(SUBSTRING(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
-    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+        return f"CAST(CONV(SUBSTRING(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def _xform(lst: str, lam: str, engine: str) -> str:
@@ -74,7 +79,16 @@ def _adistinct(lst: str, engine: str) -> str:
 
 
 N_MINHASH = 8  # 4 bands x 2 rows
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60       # 4 hamming bands x 15 bits (fits signed BIGINT)
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 3         # <= bands-1 differing bits guarantees a shared band
+# Shingles appearing in more documents than this are dropped before the
+# Jaccard inverted-index self-join: one hot shingle ("in the of the")
+# otherwise emits O(df^2) join rows — the classic scale-killer on web text.
+# Applied identically in BOTH engine twins, so the operator computes
+# df-capped Jaccard (standard practice for Jaccard mining at scale).
+JACCARD_MAX_DF = 64
 
 
 def _tok_source(engine: str) -> str:
@@ -90,7 +104,7 @@ def _tok_source(engine: str) -> str:
         return "documents_tok"
     return (f"(SELECT doc_id, source, n_chars, text, "
             f"{_tokens('text', 'd')} AS toks, "
-            f"{_xform(_tokens('text', 'd'), 't -> ' + _hash32('t', 'd'), 'd')}"
+            f"{_xform(_tokens('text', 'd'), 't -> ' + _hash60('t', 'd'), 'd')}"
             f" AS thashes FROM documents)")
 
 
@@ -113,15 +127,27 @@ def _minhash_select(engine: str) -> str:
 
 
 def _simhash_expr(hashes: str, engine: str) -> str:
+    """60-bit simhash of the token-hash array.
+
+    Spark: ONE pass over the array — an aggregate whose accumulator is the
+    60-entry vote vector (nested indexed-transform lambda), then a second
+    tiny fold over the 60 votes to assemble the bits. The unrolled per-bit
+    form would scan the token array 60 times per document.
+    DuckDB (oracle scale only): the unrolled per-bit sum — DuckDB CSEs the
+    repeated list scans well enough for a 500-doc oracle corpus.
+    """
+    if engine == "s":
+        votes = (f"aggregate({hashes}, array_repeat(0L, {SIMHASH_BITS}), "
+                 f"(acc, h) -> transform(acc, (v, i) -> "
+                 f"v + IF((shiftright(h, i) & 1) = 1, 1, -1)))")
+        return (f"aggregate(transform({votes}, "
+                f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), "
+                f"0L, (a, b) -> a + b)")
     bits = []
     for i in range(SIMHASH_BITS):
-        if engine == "s":
-            vote = (f"aggregate({hashes}, 0L, (acc, h) -> acc + "
-                    f"IF((shiftright(h, {i}) & 1) = 1, 1, -1))")
-        else:
-            vote = ("CAST(list_sum(list_transform(" + hashes +
-                    f", h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)")
-        bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
+        vote = ("CAST(list_sum(list_transform(" + hashes +
+                f", h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT)")
+        bits.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -179,14 +205,54 @@ def _build(engine: str) -> dict:
                OR (a.sig_6 = b.sig_6 AND a.sig_7 = b.sig_7)
         """
 
-    # simhash clusters over precomputed per-token hashes (thashes)
+    # simhash clusters over precomputed per-token hashes (thashes).
+    # Spark reads the materialized simhash_mat view (run_textkit) so the
+    # 60-bit fold runs once per doc, shared with simhash_neardup_pairs.
+    simhash_src = ("simhash_mat" if e == "s" else
+                   f"(SELECT doc_id, {_simhash_expr('thashes', 'd')} AS simhash"
+                   f" FROM {tok_src} th)")
     q["simhash_clusters"] = f"""
         SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
-        FROM (SELECT doc_id, {_simhash_expr("thashes", e)} AS simhash
-              FROM {tok_src} th) t
+        FROM {simhash_src} t
         GROUP BY simhash
     """
+
+    # simhash near-dup pairs at hamming <= {HAMMING_MAX}. Spark: banded
+    # hamming join — 4 bands x 15 bits; by pigeonhole, <= 3 differing bits
+    # leave at least one band identical, so banded candidates + exact verify
+    # EQUALS brute force. The equi-join on (band, key) is the bucketed
+    # shuffle shape (same skeleton as MinHash-LSH), never an all-pairs
+    # cross. DuckDB oracle: the O(n^2) brute-force form — exactly the
+    # ground truth the banding must reproduce.
+    if e == "s":
+        q["simhash_neardup_pairs"] = f"""
+            WITH bands AS (
+              SELECT doc_id, simhash, band,
+                     shiftright(simhash, band * {SIMHASH_BAND_BITS})
+                       & {(1 << SIMHASH_BAND_BITS) - 1} AS key
+              FROM simhash_mat
+              LATERAL VIEW explode(sequence(0, {SIMHASH_BANDS - 1})) b AS band
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(sh_a ^ sh_b) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(sh_a ^ sh_b) <= {HAMMING_MAX}
+        """
+    else:
+        q["simhash_neardup_pairs"] = f"""
+            WITH sh AS {simhash_src}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+        """
 
     # n-gram Jaccard pairs: explode distinct 4-gram shingles, equi-join,
     # exact |A∩B| / |A∪B| from integer counts. Spark reads docsh_mat
@@ -200,10 +266,28 @@ def _build(engine: str) -> dict:
     explode = ("SELECT doc_id, explode(sh) AS shingle FROM docsh" if e == "s"
                else "SELECT doc_id, unnest(sh) AS shingle FROM docsh")
     docsh_ref = "docsh_mat" if e == "s" else f"({docsh_body})"
+    # df cap (both twins): shingles seen in > JACCARD_MAX_DF docs are dropped
+    # BEFORE the self-join — one extra groupBy bounds the join's per-key
+    # fan-out at df^2 <= {cap}^2 rows instead of (corpus hot-key df)^2.
+    # Jaccard is then computed over the capped shingle vocabulary (sizes
+    # count surviving shingles), so |A∩B| <= |A∪B| stays invariant.
     q["ngram_jaccard_pairs"] = f"""
         WITH docsh AS (SELECT * FROM {docsh_ref} d0),
-        tok AS ({explode}),
-        sizes AS (SELECT doc_id, {_asize("sh", e)} AS n FROM docsh),
+        tok_all AS ({explode}),
+        hot AS (
+          SELECT shingle FROM tok_all
+          GROUP BY shingle
+          HAVING COUNT(*) > {JACCARD_MAX_DF}
+        ),
+        tok AS (
+          SELECT t.doc_id, t.shingle
+          FROM tok_all t
+          WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = t.shingle)
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY doc_id
+        ),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(COUNT(*) AS BIGINT) AS n_common
@@ -313,35 +397,55 @@ def duckdb_oracle_queries() -> dict:
     return _build("d")
 
 
-_TOK_CACHE_KEY = "_t2p_tok_sf"
+_TOK_CACHE: dict = {}
 
 
-def ensure_documents_tok(spark: SparkSession) -> None:
+def ensure_documents_tok(spark: SparkSession, force: bool = False) -> None:
     """Materialize+cache the token/hash-augmented documents projection.
 
     Without this, Catalyst's CollapseProject inlines the tokenization into
     every array-lambda element access downstream — the regex split then
     reruns once per shingle/bit access (measured 10-30x blowup at sf0.1).
     The cached view is small (tokens ~= text size) and every textkit query
-    reuses it.
+    reuses it. Idempotent per session (the bench loop calls every query
+    through here); pass force=True after swapping the ``documents`` view.
     """
+    key = id(spark)
+    if not force and key in _TOK_CACHE:
+        return
+    old = _TOK_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
     df = spark.sql(
         "SELECT doc_id, source, n_chars, text, "
         f"{_tokens('text', 's')} AS toks, "
-        f"{_xform(_tokens('text', 's'), 't -> ' + _hash32('t', 's'), 's')}"
+        f"{_xform(_tokens('text', 's'), 't -> ' + _hash60('t', 's'), 's')}"
         " AS thashes FROM documents"
     ).cache()
     df.createOrReplaceTempView("documents_tok")
+    _TOK_CACHE[key] = df
 
 
 def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
+    prepare_textkit_views(spark, name)
+    return spark.sql(spark_sql_queries()[name])
+
+
+def prepare_textkit_views(spark: SparkSession, name: str) -> None:
+    """Materialize the helper views a textkit query reads, over whatever
+    ``documents`` view is currently registered (tests use synthetic ones)."""
     if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
         ensure_documents_tok(spark)
     if name == "dedup_minhash_lsh":
         spark.sql(_minhash_select("s")).createOrReplaceTempView("sigs_mat")
+    elif name in ("simhash_clusters", "simhash_neardup_pairs"):
+        spark.sql(
+            f"SELECT doc_id, {_simhash_expr('thashes', 's')} AS simhash "
+            "FROM documents_tok th"
+        ).createOrReplaceTempView("simhash_mat")
     elif name == "ngram_jaccard_pairs":
         sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
         spark.sql(f"""
@@ -349,4 +453,3 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
               SELECT doc_id, {sh4} AS sh FROM documents_tok
             ) s WHERE size(sh) > 0
         """).createOrReplaceTempView("docsh_mat")
-    return spark.sql(spark_sql_queries()[name])

@@ -43,8 +43,10 @@ def con():
 QUERIES = [
     "q1_pricing_summary", "events_sessionize", "dedup_exact",
     "minhash_signatures", "dedup_minhash_lsh", "simhash_clusters",
-    "ngram_jaccard_pairs", "lang_id", "quality_score", "doc_fingerprint",
-    "ann_topk_brute", "ann_topk_lsh", "extract_fixture_spans",
+    "simhash_neardup_pairs", "ngram_jaccard_pairs", "lang_id",
+    "quality_score", "doc_fingerprint", "ann_topk_brute", "ann_topk_lsh",
+    "extract_fixture_spans", "extract_synth_corpus", "multimodal_meta",
+    "multimodal_features", "customers_no_big_order",
 ]
 
 

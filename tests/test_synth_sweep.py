@@ -40,10 +40,22 @@ def sweep(spark):
 def test_rowcount_and_statuses(sweep):
     rows, got = sweep
     assert len(got) == len(rows) == N_DOCS
-    assert all(r["doc_id"] in got for r in [])
-    n_bad = sum(1 for doc_id, _ in rows if doc_id.startswith("bad-"))
-    n_quar = sum(1 for r in got.values() if r["status"] == "quarantined")
-    assert n_quar >= n_bad  # every intentional bad doc quarantined
+    # exact quarantine composition: the quarantined set must be precisely
+    # the docs the pure-Python oracle quarantines — every bad- doc, plus
+    # the gen- docs that hit the reference's faithful table-splice crash
+    # path (see synth.py docstring). A loose >= would mask a real
+    # over-quarantine regression in the Spark path.
+    expected_quar = {
+        doc_id for doc_id, spans in rows if _oracle(spans)[0] == "quarantined"
+    }
+    got_quar = {
+        doc_id for doc_id, r in got.items() if r["status"] == "quarantined"
+    }
+    assert got_quar == expected_quar
+    bad = {doc_id for doc_id, _ in rows if doc_id.startswith("bad-")}
+    assert bad <= expected_quar  # every intentional bad doc quarantined
+    # mutants and skew docs always convert
+    assert not any(d.startswith(("mut-", "skew-")) for d in expected_quar)
 
 
 def test_spark_equals_oracle_everywhere(sweep):
