@@ -120,6 +120,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+def render_pagexml(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """PAGE-XML renderer over the 8-doc reference corpus. Oracle: canonical
+    md5s derived from the REFERENCE's own committed XMLs (same Metadata/
+    imageFilename normalization as the reference's test), so a hash match
+    means renderer output == reference output, doc for doc."""
+    from t2p_spark.render_xml import render_pagexml_df
+
+    return render_pagexml_df(_fixture_docs(spark)).select(
+        "doc_id", "status", "canon_md5"
+    ).orderBy("doc_id")
+
+
 EXTRACT_FIXTURES_ORACLE = f"""
     SELECT doc_id,
            CAST(s->>0 AS VARCHAR) AS kind,
@@ -143,6 +155,19 @@ EXTRACT_SYNTH_ORACLE = f"""
     FROM read_json('{SYNTH_GOLDEN}',
                    columns={{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
                              'n_blocks': 'INTEGER', 'n_spans': 'INTEGER'}})
+"""
+
+RENDER_GOLDEN = os.path.join(REPO, "tests", "golden_render",
+                             "render_canon_md5.json")
+
+# Canonical fingerprints of the REFERENCE's committed PAGE-XMLs
+# (tools/make_render_goldens.py) — hash match == renderer reproduces the
+# reference output byte-for-byte in canonical form.
+RENDER_PAGEXML_ORACLE = f"""
+    SELECT doc_id, status, canon_md5
+    FROM read_json('{RENDER_GOLDEN}',
+                   columns={{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
+                             'canon_md5': 'VARCHAR'}})
 """
 
 _GOLDEN_DIMS = f"""
@@ -205,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synth_corpus": extract_synth_corpus,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
+        "render_pagexml": render_pagexml,
     }
     for name in RELATIONAL_SQL:
         out[name] = (lambda n: lambda spark, sf: run_relational(spark, sf, n))(name)
@@ -225,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_synth_corpus": EXTRACT_SYNTH_ORACLE,
         "multimodal_meta": MULTIMODAL_META_ORACLE,
         "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
+        "render_pagexml": RENDER_PAGEXML_ORACLE,
     }
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
     out.update(duckdb_oracle_queries()) # engineered twins

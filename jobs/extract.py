@@ -94,7 +94,7 @@ def main() -> int:
         return 0
 
     t0 = time.monotonic()
-    run_extract_job(
+    metrics = run_extract_job(
         spark,
         input_path=args.input,
         output_path=args.output,
@@ -104,11 +104,8 @@ def main() -> int:
         n_buckets=args.n_buckets,
         resume=args.resume,
     )
-    # summarize from the written metrics table (re-evaluating the returned
-    # DataFrame would re-read the output)
-    metrics = spark.read.parquet(args.metrics).filter(
-        F.col("run_id") == args.run_id
-    )
+    # the returned metrics DataFrame is local-backed (collected once inside
+    # run_extract_job) — summarizing it launches no further output scans
     agg = metrics.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
         F.coalesce(F.sum("n_ok"), F.lit(0)).alias("ok"),

@@ -64,12 +64,15 @@ def run_extract_job(
     clustered = "bucket" in docs.columns
 
     done: List[int] = completed_buckets(spark, metrics_path) if resume else []
-    if clustered:
+    if clustered and done:
         # fail fast if the input's bucket layout disagrees with n_buckets:
         # the `done` list is output buckets (mod n_buckets); applying it to a
         # differently-bucketed input would silently skip unfinished documents
         # on resume. A small sample catches a mismatched modulus with
         # near-certainty (each row agrees by luck with prob ~1/n_buckets).
+        # Checked only when resume pruning is actually applied — a fresh run
+        # re-extracts everything regardless of the input's layout, and the
+        # check is one extra Spark job on the hot path.
         mism = (
             docs.select("doc_id", "bucket").limit(200)
             .filter(
@@ -117,5 +120,12 @@ def run_extract_job(
         .withColumn("snapshot_id",
                     F.lit(lineage["snapshot_id"]).cast("long"))
     )
-    metrics.write.mode("append").parquet(metrics_path)
-    return metrics
+    # ONE pass over the durable output (pruned to scalar columns): collect
+    # the tiny per-bucket result, then append it driver-side and return a
+    # local-backed DataFrame — callers summarizing it trigger no further
+    # scans of the output (this re-scan was part of the measured serial
+    # share keeping full-job scaling below the 0.8 bar).
+    rows = metrics.collect()
+    mdf = spark.createDataFrame(rows, metrics.schema)
+    mdf.coalesce(1).write.mode("append").parquet(metrics_path)
+    return mdf

@@ -534,12 +534,21 @@ class _Emitter:
 # ---------------------------------------------------------------------------
 # the engine — convert_aws.py:728-1211 stages 2..8 (§3.3)
 
-def convert_doc(aws_json: Dict, img_width: int, img_height: int,
-                media_ref: str = "") -> List[Span]:
-    """Convert one parsed Textract response to its ordered span sequence.
+class _Model:
+    """Stages 2-6 output: everything serialization needs (spans or XML)."""
+    __slots__ = ("layouts", "tables", "reading_order")
 
-    Raises on every input the reference converter would crash on
-    (SURVEY.md §2.8) — wrap with :func:`convert_doc_safe` in pipelines.
+    def __init__(self, layouts, tables, reading_order) -> None:
+        self.layouts = layouts
+        self.tables = tables
+        self.reading_order = reading_order
+
+
+def build_model(aws_json: Dict) -> _Model:
+    """Stages 2-6 (bucket, link, de-nest, repair, order) of the reference
+    pipeline — shared by the span emitter (convert_doc) and the PAGE-XML
+    renderer (t2p_spark.render_xml). Raises on every input the reference
+    converter would crash on (SURVEY.md §2.8).
     """
     # stage 2: bucket (:753-792)
     page_block = None
@@ -671,11 +680,22 @@ def convert_doc(aws_json: Dict, img_width: int, img_height: int,
                     "path convert_aws.py:1148"
                 )
 
+    return _Model(layouts, tables, reading_order)
+
+
+def convert_doc(aws_json: Dict, img_width: int, img_height: int,
+                media_ref: str = "") -> List[Span]:
+    """Convert one parsed Textract response to its ordered span sequence.
+
+    Raises on every input the reference converter would crash on
+    (SURVEY.md §2.8) — wrap with :func:`convert_doc_safe` in pipelines.
+    """
+    model = build_model(aws_json)
     # stages 7+8 fused: emit spans per top-level object, in reading order.
     # (The reference writes region XML in construction order and reorders via
     # ReadingOrder; flatten_page_xml re-sorts to reading order — FIXTURES.md §3.)
     emitter = _Emitter(img_width, img_height, media_ref)
-    for obj in reading_order:
+    for obj in model.reading_order:
         if isinstance(obj, Table):
             # word-order mode crash parity: a serialized table outside the
             # reading order never happens; a table *in* reading order always
