@@ -24,6 +24,7 @@ results.
 from __future__ import annotations
 
 import random
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,26 +75,41 @@ def _norm(a: str, engine: str) -> str:
             f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
 
 
-def _bucket_expr(col: str, engine: str) -> str:
+def _bucket_expr(col: str, engine: str, planes: list) -> str:
     bits = []
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(planes):
         bits.append(
             f"(CASE WHEN {_dot(col, plane, engine)} > 0 THEN {1 << j} ELSE 0 END)"
         )
     return "(" + " + ".join(bits) + ")"
 
 
-def _with_buckets(engine: str) -> str:
+def _with_buckets(engine: str, planes: list) -> str:
     return (f"SELECT vec_id, label, embedding, "
-            f"{_bucket_expr('embedding', engine)} AS bucket, "
+            f"{_bucket_expr('embedding', engine, planes)} AS bucket, "
             f"{_norm('embedding', engine)} AS norm "
             f"FROM embeddings")
 
 
-def ann_sql(engine: str) -> dict:
+def make_planes(n_planes: int, dim: int = DIM, seed: int = 20240716) -> list:
+    """Seeded hyperplanes for any bucket-space size — the scale preset knob.
+
+    Presets: oracle corpus (~2k vecs) n_planes=8 (256 buckets); 10^9 vecs
+    n_planes=20 (~1k vecs/bucket). Recall at high n_planes needs multi-probe
+    or multiple tables (see module docstring).
+    """
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
+    """SQL catalog; pass n_planes to re-derive at a different bucket-space
+    size (both engine twins shift together, so parity is preserved)."""
+    planes = PLANES if n_planes is None else make_planes(n_planes)
     cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', engine)} "
            f"/ (q.norm * c.norm), 6)")
-    base = _with_buckets(engine)
+    base = _with_buckets(engine, planes)
     q = {}
     q["embedding_buckets"] = f"""
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,

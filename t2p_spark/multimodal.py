@@ -19,6 +19,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 
 import pyspark.sql.functions as F
@@ -59,7 +60,10 @@ def encode_fake_image(width: int, height: int, channels: int = 3,
                       seed: int = 0) -> bytes:
     header = MAGIC + struct.pack(">IIH", width, height, channels)
     n = min(width * height * channels, 4096)  # truncated pseudo-pixels
-    body = bytes((seed * 1103515245 + i * 12345) % 256 for i in range(n))
+    # numpy-vectorized: identical bytes to the per-byte Python loop
+    # ((seed*1103515245 + i*12345) % 256), at array speed
+    idx = np.arange(n, dtype=np.int64)
+    body = ((seed * 1103515245 + idx * 12345) % 256).astype(np.uint8).tobytes()
     return header + body
 
 
@@ -241,12 +245,12 @@ def media_features(media: DataFrame) -> DataFrame:
             blobs = batch.column("content").to_pylist()
             feats = []
             for blob in blobs:
-                body = (blob or b"")[16:]
-                hist = [0] * FEATURE_DIM
-                for b in body[:2048]:
-                    hist[b % FEATURE_DIM] += 1
-                total = max(1, sum(hist))
-                feats.append([round(v / total, 6) for v in hist])
+                body = (blob or b"")[16:2048 + 16]
+                # numpy bincount == the per-byte `hist[b % 8] += 1` loop
+                arr = np.frombuffer(body, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                total = max(1, int(hist.sum()))
+                feats.append([round(int(v) / total, 6) for v in hist])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(feats, pa.list_(pa.float32()))],
                 schema=FEATURES_ARROW,

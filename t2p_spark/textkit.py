@@ -263,7 +263,10 @@ def _build(engine: str) -> dict:
             SELECT doc_id, {sh4} AS sh FROM {tok_src} tk
           ) s WHERE {_asize("sh", e)} > 0
     """
-    explode = ("SELECT doc_id, explode(sh) AS shingle FROM docsh" if e == "s"
+    # Spark reads tok_mat — the CACHED exploded (doc_id, shingle) relation
+    # (flat strings cache well; array<string> columns do not) — because the
+    # df-cap query walks the shingle relation three times (df, join sides).
+    explode = ("SELECT doc_id, shingle FROM tok_mat" if e == "s"
                else "SELECT doc_id, unnest(sh) AS shingle FROM docsh")
     docsh_ref = "docsh_mat" if e == "s" else f"({docsh_body})"
     # df cap (both twins): shingles seen in > JACCARD_MAX_DF docs are dropped
@@ -453,3 +456,11 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
               SELECT doc_id, {sh4} AS sh FROM documents_tok
             ) s WHERE size(sh) > 0
         """).createOrReplaceTempView("docsh_mat")
+        old = _TOK_CACHE.pop(("tok_mat", id(spark)), None)
+        if old is not None:
+            old.unpersist()
+        tok = spark.sql(
+            "SELECT doc_id, explode(sh) AS shingle FROM docsh_mat"
+        ).cache()
+        tok.createOrReplaceTempView("tok_mat")
+        _TOK_CACHE[("tok_mat", id(spark))] = tok

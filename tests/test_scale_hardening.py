@@ -134,6 +134,33 @@ def test_kernel_reenables_gc():
     assert gc.isenabled()
 
 
+def test_resume_rejects_mismatched_bucket_layout(spark, tmp_path):
+    """A clustered input whose stored bucket column disagrees with
+    --n-buckets must fail fast on a pruning resume — silently applying the
+    done-list to a differently-bucketed input would skip documents."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.checkpoint import run_extract_job
+    from t2p_spark.fixtures import fixture_doc_rows
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    in_path = str(tmp_path / "docs")
+    # cluster the input with 8 buckets
+    docs.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    ).write.partitionBy("bucket").parquet(in_path)
+
+    out, mets = str(tmp_path / "out"), str(tmp_path / "metrics")
+    # fresh run with n_buckets=8: fine
+    run_extract_job(spark, in_path, out, mets, "r1", n_buckets=8)
+    # resume with a DIFFERENT n_buckets: pruning would skip docs -> raise
+    with pytest.raises(ValueError, match="bucket"):
+        run_extract_job(spark, in_path, out, mets, "r2",
+                        n_buckets=16, resume=True)
+
+
 def test_iceberg_write_read_resume(spark, tmp_path):
     """Exercised the moment a jar + catalog are configured; skipped offline.
 
