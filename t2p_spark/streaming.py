@@ -77,6 +77,79 @@ def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
     return writer.start()
 
 
+def events_sessionize_stream(events_stream: DataFrame,
+                             gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user sessionization as a stream via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``events_sessionize`` query (same 30-min inactivity gap, same
+    (ts, event_id) tie-break).
+
+    State per user: (last event epoch, session count, event count).
+    Each microbatch folds its events into the state with a vectorized
+    numpy gap test and emits the RUNNING totals (output mode "update");
+    once the stream drains, the last emitted row per user equals the
+    batch aggregate. At scale this is one shuffle on user_id per
+    microbatch with O(users) state, the canonical stateful-streaming
+    shape.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_sec = float(gap_minutes * 60)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts = (pd.to_datetime(pdf["ts"]).astype("int64") / 1e9).to_numpy()
+            prev = np.empty_like(ts)
+            prev[0] = last_ts if last_ts is not None else -np.inf
+            prev[1:] = ts[:-1]
+            n_sessions += int((ts > prev + gap_sec).sum())
+            n_events += len(ts)
+            batch_max = float(ts.max())
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        })
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_stream(spark: SparkSession, events_path: str,
+                          events_schema, checkpoint_path: str,
+                          query_name: str):
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    agg = events_sessionize_stream(stream)
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_tumbling_stream(events_stream: DataFrame) -> DataFrame:
     """Watermarked 1h tumbling windows per event_type (late data > 2h dropped)."""
     return (

@@ -69,6 +69,45 @@ def test_streaming_events_window_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization drained over chronological
+    file chunks == the batch window-function sessionization."""
+    from t2p_spark.relational import RELATIONAL_SQL, register_views
+    from t2p_spark.streaming import run_sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_dir = str(tmp_path / "events")
+    # four chronological chunks committed in order, so the file stream
+    # replays history across multiple stateful microbatches
+    import pyspark.sql.functions as F
+
+    rows = ev.orderBy("ts", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * quarter:(i + 1) * quarter]
+        if chunk:
+            spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+                .write.mode("append").parquet(ev_dir)
+
+    q = run_sessionize_stream(spark, ev_dir, ev.schema,
+                              str(tmp_path / "ck"), "sess_agg")
+    q.awaitTermination(120)
+    # the memory sink accumulates one row per (user, microbatch); running
+    # totals only grow, so the final state is the max-n_events row
+    got = {}
+    for r in spark.sql("SELECT * FROM sess_agg").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(RELATIONAL_SQL["events_sessionize"]).collect()
+    }
+    assert got == want
+
+
 def test_media_table_and_meta(spark):
     docs = spark.createDataFrame(
         list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
