@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = (lambda n: lambda spark, sf: run_relational(spark, sf, n))(name)
     for name in spark_sql_queries():
         out[name] = (lambda n: lambda spark, sf: run_textkit(spark, sf, n))(name)
+    # iterative connected-components dedup resolution (not a single SQL
+    # statement on the Spark side; DuckDB twin is a recursive CTE)
+    out["dedup_components"] = \
+        lambda spark, sf: run_textkit(spark, sf, "dedup_components")
     for name in ann_sql("s"):
         out[name] = (lambda n: lambda spark, sf: run_ann(spark, sf, n))(name)
     return out
@@ -256,4 +260,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
     out.update(duckdb_oracle_queries()) # engineered twins
     out.update(ann_sql("d"))
+    from t2p_spark.textkit import dedup_components_oracle_sql
+
+    out["dedup_components"] = dedup_components_oracle_sql()
     return out

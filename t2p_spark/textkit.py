@@ -18,6 +18,8 @@ explode+equi-join (shuffle on band hash), never OR-joins (nested loop).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -433,8 +435,93 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
+    if name == "dedup_components":
+        return dedup_components(spark)
     prepare_textkit_views(spark, name)
     return spark.sql(spark_sql_queries()[name])
+
+
+def dedup_components(spark: SparkSession, max_iters: int = 20,
+                     pairs: Optional[DataFrame] = None) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    MinHash-LSH candidate pairs, each doc labeled with its component's
+    minimum doc_id (the canonical representative a dedup pipeline keeps).
+
+    Spark-first iterative algorithm (GraphX-free): min-label propagation —
+    per round, every node takes min(own label, neighbors' labels); a round
+    is one shuffle-join on the edge list. Near-dup components have tiny
+    diameter, so convergence takes a handful of rounds; the fixpoint test
+    compares sum(label), which strictly decreases until convergence (labels
+    only ever decrease). At 100 TB this is the standard large-graph CC
+    loop: O(diameter) joins, each shuffling |E| rows — no driver-side
+    adjacency, no quadratic stage.
+
+    DuckDB oracle twin: WITH RECURSIVE label walk (DEDUP_COMPONENTS_ORACLE)
+    — exact same fixpoint, declaratively.
+    """
+    import pyspark.sql.functions as F
+
+    if pairs is None:
+        prepare_textkit_views(spark, "dedup_minhash_lsh")
+        pairs = spark.sql(spark_sql_queries()["dedup_minhash_lsh"])
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_rep")
+    )
+
+
+def dedup_components_oracle_sql() -> str:
+    """DuckDB twin: recursive min-label walk over the same LSH pairs."""
+    lsh = duckdb_oracle_queries()["dedup_minhash_lsh"]
+    return f"""
+        WITH RECURSIVE pairs AS ({lsh}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        walk(doc_id, label) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT e.dst, w.label
+          FROM walk w JOIN edges e ON e.src = w.doc_id
+        )
+        SELECT doc_id, MIN(label) AS cluster_rep
+        FROM walk GROUP BY doc_id
+    """
 
 
 def prepare_textkit_views(spark: SparkSession, name: str) -> None:

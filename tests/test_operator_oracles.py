@@ -46,7 +46,8 @@ QUERIES = [
     "simhash_neardup_pairs", "ngram_jaccard_pairs", "lang_id",
     "quality_score", "doc_fingerprint", "ann_topk_brute", "ann_topk_lsh",
     "extract_fixture_spans", "extract_synth_corpus", "multimodal_meta",
-    "multimodal_features", "customers_no_big_order",
+    "multimodal_features", "customers_no_big_order", "dedup_components",
+    "render_pagexml",
 ]
 
 

@@ -98,6 +98,20 @@ def test_simhash_banding_equals_bruteforce(spark):
         _restore_views(spark)
 
 
+def test_dedup_components_chain_propagation(spark):
+    """Multi-hop label propagation: a chain 1-2, 2-3, 3-4 (4 is never
+    paired with 1 or 2 directly) must collapse to ONE cluster labeled 1;
+    an isolated pair stays its own cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in textkit.dedup_components(spark, pairs=pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_kernel_quarantines_non_object_json(spark):
     from t2p_spark.pipeline import extract
 
