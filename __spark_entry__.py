@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in RELATIONAL_SQL:
         out[name] = (lambda n: lambda spark, sf: run_relational(spark, sf, n))(name)
+    # skew-salted fact-to-dim join (DataFrame-side salting; plain-SQL twin)
+    out["events_by_segment_salted"] = \
+        lambda spark, sf: run_relational(spark, sf, "events_by_segment_salted")
     for name in spark_sql_queries():
         out[name] = (lambda n: lambda spark, sf: run_textkit(spark, sf, n))(name)
     # iterative connected-components dedup resolution (not a single SQL
@@ -260,7 +263,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
     out.update(duckdb_oracle_queries()) # engineered twins
     out.update(ann_sql("d"))
+    from t2p_spark.relational import EVENTS_BY_SEGMENT_ORACLE
     from t2p_spark.textkit import dedup_components_oracle_sql
 
     out["dedup_components"] = dedup_components_oracle_sql()
+    out["events_by_segment_salted"] = EVENTS_BY_SEGMENT_ORACLE
     return out

@@ -187,4 +187,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
+    if name == "events_by_segment_salted":
+        return events_by_segment_salted(spark)
     return spark.sql(RELATIONAL_SQL[name])
+
+
+N_SALT = 8
+
+# DuckDB twin of the salted join: the plain join — salting changes the
+# physical shuffle layout, never the result.
+EVENTS_BY_SEGMENT_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def events_by_segment_salted(spark: SparkSession) -> DataFrame:
+    """Skew-safe fact-to-dim join: explicit SALTING of the shuffle key.
+
+    A hot user (one user_id owning a large share of events) turns a plain
+    shuffled join into one straggler task at cluster scale. The standard
+    fix demonstrated here: the big (fact) side gets a salt in [0, N_SALT)
+    derived from a per-row value, the small (dim) side is exploded x
+    N_SALT, and the join key becomes (user_id, salt) — the hot key's rows
+    spread over N_SALT tasks. merge-join hinted so the pattern is
+    exercised (a broadcast join has no skew problem to solve; at real
+    scale the dim side may not broadcast). Aggregates are algebraic
+    (count + decimal sum), so salting cannot change the result — the
+    DuckDB twin is the plain join.
+    """
+    import pyspark.sql.functions as F
+
+    events = spark.table("events")
+    customer = spark.table("customer")
+    salted_events = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    salted_customer = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    joined = salted_events.hint("merge").join(
+        salted_customer,
+        (salted_events["user_id"] == salted_customer["c_custkey"])
+        & (salted_events["salt"] == salted_customer["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        .alias("total_value"),
+    )
