@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf: run_textkit(spark, sf, "dedup_components")
     for name in ann_sql("s"):
         out[name] = (lambda n: lambda spark, sf: run_ann(spark, sf, n))(name)
+    # IVF coarse-quantizer ANN (integer-exact unrolled k-means; scale path)
+    out["ann_topk_ivf"] = lambda spark, sf: run_ann(spark, sf, "ann_topk_ivf")
     return out
 
 
@@ -266,6 +268,9 @@ def oracle_sql() -> dict[str, str]:
     from t2p_spark.relational import EVENTS_BY_SEGMENT_ORACLE
     from t2p_spark.textkit import dedup_components_oracle_sql
 
+    from t2p_spark.ann import ivf_sql
+
     out["dedup_components"] = dedup_components_oracle_sql()
     out["events_by_segment_salted"] = EVENTS_BY_SEGMENT_ORACLE
+    out["ann_topk_ivf"] = ivf_sql("d")
     return out

@@ -91,6 +91,140 @@ def _with_buckets(engine: str, planes: list) -> str:
             f"FROM embeddings")
 
 
+# --- IVF (inverted-file) index: integer-exact k-means coarse quantizer ------
+#
+# The scale path for ANN beyond LSH: train K coarse centroids, assign every
+# vector to its nearest centroid (the inverted lists), probe only the
+# query's nearest IVF_PROBE lists. Engine-parity engineering: embeddings
+# are quantized to integers (FLOOR(x*1000)), so distances, argmins and
+# centroid updates (FLOOR(SUM/COUNT), sums < 2^53 so exact in double) are
+# bit-identical in Spark and DuckDB; Lloyd iterations are UNROLLED
+# (IVF_ITERS=2) as chained CTEs — deterministic init from the first K
+# corpus vectors, ties broken by centroid id. At cluster scale: centroid
+# set is tiny (broadcast), assignment is one narrow pass, candidate
+# lookup is an equi-join on cid — no cross product of the corpus.
+
+IVF_K = 16
+IVF_ITERS = 2
+IVF_PROBE = 4
+IVF_SCALE = 1000  # quantization: FLOOR(x * IVF_SCALE) per component
+
+
+def _ivf_qe(col: str, e: str) -> str:
+    """Element-wise integer quantization of an embedding array."""
+    if e == "s":
+        return (f"transform({col}, x -> "
+                f"CAST(FLOOR(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT))")
+    return (f"list_transform({col}, x -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT))")
+
+
+def _ivf_dist(a: str, b: str, e: str) -> str:
+    """Exact integer squared-L2 distance between two quantized arrays."""
+    if e == "s":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                f"0L, (acc, v) -> acc + v)")
+    return (f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+
+
+def _ivf_assign(vecs: str, cents: str, e: str) -> str:
+    """Nearest-centroid assignment: argmin integer distance, ties -> min cid."""
+    return f"""
+        SELECT vec_id, qe, cid FROM (
+          SELECT v.vec_id, v.qe, c.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_ivf_dist('v.qe', 'c.qe', e)}, c.cid
+                 ) AS rn
+          FROM {vecs} v CROSS JOIN {cents} c
+        ) t WHERE rn = 1
+    """
+
+
+def _ivf_update(assign: str, prev: str, e: str) -> str:
+    """Element-wise integer centroid update; empty clusters keep the
+    previous centroid. Array rebuild is order-pinned in both engines."""
+    if e == "s":
+        rebuild = ("transform(array_sort(collect_list(struct(idx, val))), "
+                   "s -> s.val)")
+        explode = (f"SELECT cid, posexplode(qe) AS (idx, comp) FROM {assign}")
+    else:
+        rebuild = "list(val ORDER BY idx)"
+        # parallel unnests align positionally in DuckDB (no WITH ORDINALITY)
+        explode = (f"SELECT cid, unnest(range(len(qe))) AS idx, "
+                   f"unnest(qe) AS comp FROM {assign}")
+    return f"""
+        SELECT p.cid, COALESCE(n.qe, p.qe) AS qe
+        FROM {prev} p LEFT JOIN (
+          SELECT cid, {rebuild} AS qe FROM (
+            SELECT cid, idx,
+                   CAST(FLOOR(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                     AS val
+            FROM ({explode}) ex
+            GROUP BY cid, idx
+          ) m GROUP BY cid
+        ) n ON n.cid = p.cid
+    """
+
+
+def ivf_sql(e: str) -> str:
+    """ann_topk_ivf: unrolled-Lloyd IVF index + probe, one SQL text per
+    engine with identical integer semantics."""
+    cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', e)} "
+           f"/ (q.norm * c.norm), 6)")
+    ctes = [
+        f"vecs AS (SELECT vec_id, embedding, {_ivf_qe('embedding', e)} AS qe,"
+        f" {_norm('embedding', e)} AS norm FROM embeddings)",
+        # deterministic init: the first K corpus (non-query) vectors
+        f"c0 AS (SELECT vec_id - {N_QUERIES} AS cid, qe FROM vecs "
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K})",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_ITERS + 1):
+        ctes.append(f"a{it} AS ({_ivf_assign('vecs', prev, e)})")
+        ctes.append(f"c{it} AS ({_ivf_update(f'a{it}', prev, e)})")
+        prev = f"c{it}"
+    final_assign = f"af AS ({_ivf_assign('vecs', prev, e)})"
+    ctes.append(final_assign)
+    ctes.append(f"""
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_ivf_dist('v.qe', 'c.qe', e)}, c.cid
+                   ) AS rn
+            FROM vecs v CROSS JOIN {prev} c
+            WHERE v.vec_id < {N_QUERIES}
+          ) t WHERE rn <= {IVF_PROBE}
+        )""")
+    return f"""
+        WITH {', '.join(ctes)},
+        cands AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN af a ON a.cid = p.cid
+          WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM cands cd
+          JOIN vecs q ON q.vec_id = cd.query_id
+          JOIN vecs c ON c.vec_id = cd.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 def make_planes(n_planes: int, dim: int = DIM, seed: int = 20240716) -> list:
     """Seeded hyperplanes for any bucket-space size — the scale preset knob.
 
@@ -176,4 +310,6 @@ def run_ann(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
+    if name == "ann_topk_ivf":
+        return spark.sql(ivf_sql("s"))
     return spark.sql(ann_sql("s")[name])

@@ -47,7 +47,7 @@ QUERIES = [
     "quality_score", "doc_fingerprint", "ann_topk_brute", "ann_topk_lsh",
     "extract_fixture_spans", "extract_synth_corpus", "multimodal_meta",
     "multimodal_features", "customers_no_big_order", "dedup_components",
-    "render_pagexml", "events_by_segment_salted",
+    "render_pagexml", "events_by_segment_salted", "ann_topk_ivf",
 ]
 
 
