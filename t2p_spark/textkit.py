@@ -378,6 +378,32 @@ def _build(engine: str) -> dict:
         GROUP BY source
     """
 
+    # BPE-ish subword token counting (brief: "whitespace + a BPE-ish
+    # regex"): GPT-2-style segmentation — contractions, space-prefixed
+    # letter/digit runs, punctuation runs — alongside plain whitespace
+    # tokens. The regex is ASCII-class-only so Java regex (Spark) and RE2
+    # (DuckDB) segment identically (verified).
+    if e == "s":
+        bpe = ("size(regexp_extract_all(lower(text), "
+               "\"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+\", 0))")
+        ws = "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+    else:
+        bpe = ("len(regexp_extract_all(lower(text), "
+               "'''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 '']+'))")
+        ws = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    q["token_stats_bpe"] = f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+               CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+        FROM (
+          SELECT doc_id, source, {bpe} AS n_bpe, {ws} AS n_ws
+          FROM documents
+        ) f
+        GROUP BY source
+    """
+
     # rolling polynomial fingerprint (order-sensitive left fold, mod prime)
     if e == "s":
         fold = ("aggregate(thashes, 0L, "
