@@ -306,10 +306,91 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
     return q
 
 
+_IVF_CACHE: dict = {}
+
+
+def run_ivf_spark(spark: SparkSession) -> DataFrame:
+    """Spark execution of ann_topk_ivf, staged like a real k-means job.
+
+    The one-shot SQL form (ivf_sql, kept verbatim for the DuckDB twin)
+    re-expands every iteration's CTEs — the physical plan re-scans the
+    corpus 18x. Here each stage materializes what a cluster job would:
+    the quantized vectors are cached ONCE, and each Lloyd iteration's
+    K=16 centroids are collected to the driver (centroids are driver-
+    small by definition) and re-broadcast — so the corpus is scanned
+    once per assignment pass and the plan contains no CTE blowup.
+    Identical arithmetic to ivf_sql: integer distances, FLOOR-mean
+    updates, min-cid ties.
+    """
+    key = id(spark)
+    old = _IVF_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
+    vecs = spark.sql(
+        f"SELECT vec_id, embedding, {_ivf_qe('embedding', 's')} AS qe, "
+        f"{_norm('embedding', 's')} AS norm FROM embeddings"
+    ).cache()
+    vecs.createOrReplaceTempView("ivf_vecs")
+    _IVF_CACHE[key] = vecs
+
+    c = spark.sql(
+        f"SELECT vec_id - {N_QUERIES} AS cid, qe FROM ivf_vecs "
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}"
+    )
+    schema = c.schema
+    spark.createDataFrame(c.collect(), schema) \
+        .createOrReplaceTempView("ivf_c")
+    for _it in range(IVF_ITERS):
+        spark.sql(_ivf_assign("ivf_vecs", "ivf_c", "s")) \
+            .createOrReplaceTempView("ivf_a")
+        new_c = spark.sql(_ivf_update("ivf_a", "ivf_c", "s")).collect()
+        spark.createDataFrame(new_c, schema) \
+            .createOrReplaceTempView("ivf_c")
+    spark.sql(_ivf_assign("ivf_vecs", "ivf_c", "s")) \
+        .createOrReplaceTempView("ivf_af")
+
+    cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', 's')} "
+           f"/ (q.norm * c.norm), 6)")
+    return spark.sql(f"""
+        WITH probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_ivf_dist('v.qe', 'c.qe', 's')}, c.cid
+                   ) AS rn
+            FROM ivf_vecs v CROSS JOIN ivf_c c
+            WHERE v.vec_id < {N_QUERIES}
+          ) t WHERE rn <= {IVF_PROBE}
+        ),
+        cands AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN ivf_af a ON a.cid = p.cid
+          WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM cands cd
+          JOIN ivf_vecs q ON q.vec_id = cd.query_id
+          JOIN ivf_vecs c ON c.vec_id = cd.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """)
+
+
 def run_ann(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
     if name == "ann_topk_ivf":
-        return spark.sql(ivf_sql("s"))
+        return run_ivf_spark(spark)
     return spark.sql(ann_sql("s")[name])
