@@ -490,6 +490,7 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
     if pairs is None:
         prepare_textkit_views(spark, "dedup_minhash_lsh")
         pairs = spark.sql(spark_sql_queries()["dedup_minhash_lsh"])
+    pairs = pairs.cache()  # the union below reads it twice
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -500,7 +501,7 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = None  # derived inside the first iteration's single action
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -510,19 +511,28 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
             .select(
                 labels["doc_id"],
+                labels["label"].alias("old_label"),
                 F.least(
                     labels["label"], F.coalesce("nbr_label", labels["label"])
                 ).alias("label"),
             )
             .cache()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # ONE action per round: new and previous label sums together
+        sums = new_labels.agg(
+            F.sum("label"), F.sum("old_label")
+        ).collect()[0]
+        new_sum, round_prev = sums[0], sums[1]
+        if prev_sum is None:
+            prev_sum = round_prev
+        new_labels = new_labels.drop("old_label")
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
             break
         prev_sum = new_sum
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         "doc_id", F.col("label").alias("cluster_rep")
     )
@@ -558,10 +568,17 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
     if name == "dedup_minhash_lsh":
         spark.sql(_minhash_select("s")).createOrReplaceTempView("sigs_mat")
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):
-        spark.sql(
+        # cached: the banded self-join reads this relation twice, and the
+        # 60-bit vote fold is the expensive part
+        old = _TOK_CACHE.pop(("simhash_mat", id(spark)), None)
+        if old is not None:
+            old.unpersist()
+        sh = spark.sql(
             f"SELECT doc_id, {_simhash_expr('thashes', 's')} AS simhash "
             "FROM documents_tok th"
-        ).createOrReplaceTempView("simhash_mat")
+        ).cache()
+        sh.createOrReplaceTempView("simhash_mat")
+        _TOK_CACHE[("simhash_mat", id(spark))] = sh
     elif name == "ngram_jaccard_pairs":
         sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
         spark.sql(f"""
