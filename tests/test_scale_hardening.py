@@ -30,8 +30,12 @@ def _restore_views(spark):
 
     for k in [k for k in relational._REGISTERED if k[0] == id(spark)]:
         relational._REGISTERED.pop(k)
-    textkit._TOK_CACHE.pop(id(spark), None)
-    for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat"):
+    for k in [k for k in textkit._TOK_CACHE
+              if k == id(spark) or (isinstance(k, tuple) and id(spark) in k)]:
+        df = textkit._TOK_CACHE.pop(k)
+        df.unpersist()
+    for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat",
+              "tok_mat"):
         spark.catalog.dropTempView(v)
 
 
