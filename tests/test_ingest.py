@@ -1,0 +1,64 @@
+"""Raw-JSON-directory ingest == the canonical docs table, end to end."""
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from t2p_spark.fixtures import fixture_ids, golden_meta
+from t2p_spark.ingest import docs_from_json_dir
+from t2p_spark.pipeline import extract
+from tests.conftest import REF_JSON_DIR, load_golden
+
+
+def test_ingest_json_dir_roundtrip(spark, tmp_path):
+    json_dir = str(tmp_path / "responses")
+    (tmp_path / "responses").mkdir()
+    ids = fixture_ids()
+    for doc_id in ids:
+        shutil.copy(f"{REF_JSON_DIR}/{doc_id}.json",
+                    f"{json_dir}/{doc_id}.json")
+    dims = spark.createDataFrame(
+        [(d, golden_meta(d)["width"], golden_meta(d)["height"],
+          golden_meta(d)["media_ref"]) for d in ids],
+        "doc_id string, width int, height int, media_ref string",
+    )
+    docs = docs_from_json_dir(spark, json_dir, dims, chunk_size=1 << 20)
+
+    # the span encoding itself round-trips (media span + ordered chunks)
+    row = {r["doc_id"]: r for r in docs.collect()}
+    assert set(row) == set(ids)
+    for doc_id in ids:
+        spans = row[doc_id]["spans"]
+        assert spans[0]["kind"] == "media"
+        joined = "".join(s["text"] for s in sorted(
+            (s for s in spans if s["kind"] == "text"),
+            key=lambda s: s["offset"]))
+        original = open(f"{REF_JSON_DIR}/{doc_id}.json",
+                        encoding="utf-8").read()
+        assert joined == original, doc_id
+
+    # and the full extraction over the ingested table matches the goldens
+    out = {r["doc_id"]: r for r in extract(docs, parallelism=2).collect()}
+    for doc_id in ids:
+        assert out[doc_id]["status"] == "ok", out[doc_id]["error"]
+        got = [list(s) for s in out[doc_id]["spans"]]
+        assert got == load_golden(doc_id)["spans"], doc_id
+
+
+def test_ingest_small_chunks(spark, tmp_path):
+    """Chunked encoding (many text spans per doc) reassembles identically."""
+    json_dir = str(tmp_path / "responses")
+    (tmp_path / "responses").mkdir()
+    doc_id = fixture_ids()[0]
+    shutil.copy(f"{REF_JSON_DIR}/{doc_id}.json", f"{json_dir}/{doc_id}.json")
+    g = golden_meta(doc_id)
+    dims = spark.createDataFrame(
+        [(doc_id, g["width"], g["height"], g["media_ref"])],
+        "doc_id string, width int, height int, media_ref string",
+    )
+    docs = docs_from_json_dir(spark, json_dir, dims, chunk_size=64 << 10)
+    n_spans = docs.select(F.size("spans")).collect()[0][0]
+    assert n_spans > 3  # genuinely chunked
+    out = extract(docs).collect()[0]
+    assert out["status"] == "ok"
+    assert [list(s) for s in out["spans"]] == load_golden(doc_id)["spans"]
