@@ -237,6 +237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skew-salted fact-to-dim join (DataFrame-side salting; plain-SQL twin)
     out["events_by_segment_salted"] = \
         lambda spark, sf: run_relational(spark, sf, "events_by_segment_salted")
+    # as-of join (union-window re-expression; DuckDB native ASOF twin)
+    out["events_asof_order"] = \
+        lambda spark, sf: run_relational(spark, sf, "events_asof_order")
+    # range join (bin-quantized equi-join; plain theta-join twin)
+    out["events_value_bands"] = \
+        lambda spark, sf: run_relational(spark, sf, "events_value_bands")
     for name in spark_sql_queries():
         out[name] = (lambda n: lambda spark, sf: run_textkit(spark, sf, n))(name)
     # iterative connected-components dedup resolution (not a single SQL
@@ -265,12 +271,16 @@ def oracle_sql() -> dict[str, str]:
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim
     out.update(duckdb_oracle_queries()) # engineered twins
     out.update(ann_sql("d"))
-    from t2p_spark.relational import EVENTS_BY_SEGMENT_ORACLE
-    from t2p_spark.textkit import dedup_components_oracle_sql
-
     from t2p_spark.ann import ivf_sql
+    from t2p_spark.relational import (
+        EVENTS_ASOF_ORACLE, EVENTS_BY_SEGMENT_ORACLE,
+        EVENTS_VALUE_BANDS_ORACLE,
+    )
+    from t2p_spark.textkit import dedup_components_oracle_sql
 
     out["dedup_components"] = dedup_components_oracle_sql()
     out["events_by_segment_salted"] = EVENTS_BY_SEGMENT_ORACLE
+    out["events_asof_order"] = EVENTS_ASOF_ORACLE
+    out["events_value_bands"] = EVENTS_VALUE_BANDS_ORACLE
     out["ann_topk_ivf"] = ivf_sql("d")
     return out

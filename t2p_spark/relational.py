@@ -189,8 +189,99 @@ def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     if name == "events_by_segment_salted":
         return events_by_segment_salted(spark)
+    if name == "events_asof_order":
+        return spark.sql(EVENTS_ASOF_SPARK)
+    if name == "events_value_bands":
+        return spark.sql(EVENTS_VALUE_BANDS_SPARK)
     return spark.sql(RELATIONAL_SQL[name])
 
+
+# --- as-of join: latest order at-or-before each event ----------------------
+#
+# Spark has no native ASOF JOIN; the scalable re-expression is the
+# union-window pattern: tag both sides, union, ONE shuffle on the key, one
+# sort per partition, last(ignoreNulls) carries the right side forward.
+# O(|events| + |orders|) with no per-row probing; skew bounded by the
+# per-user timeline length. DuckDB twin: native ASOF LEFT JOIN.
+# Right side is pre-deduped to one order per (custkey, date) (max orderkey)
+# so same-date ties cannot make ASOF nondeterministic.
+
+EVENTS_ASOF_SPARK = """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate AS t,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 1 AS is_event,
+             event_id, CAST(NULL AS BIGINT) AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT user_id, t, 0 AS is_event,
+             CAST(NULL AS BIGINT) AS event_id, o_orderkey
+      FROM ord
+    ),
+    win AS (
+      SELECT user_id, is_event, event_id,
+             LAST(o_orderkey, TRUE) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_event
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS asof_orderkey
+      FROM tagged
+    )
+    SELECT event_id, user_id, asof_orderkey
+    FROM win WHERE is_event = 1
+"""
+
+EVENTS_ASOF_ORACLE = """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+# --- range join: events binned into value bands ------------------------------
+#
+# A naive BETWEEN theta-join plans as a nested loop. The scalable shape:
+# quantize the point side to fixed-width bins, explode each band to the
+# bins it overlaps, equi-join on bin + residual range predicate. Identical
+# results to the plain theta join (the DuckDB twin).
+
+_BANDS = "VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0), " \
+         "('high', 100.0, 200.0), ('extreme', 200.0, 500.0)"
+_BIN_W = 50
+
+EVENTS_VALUE_BANDS_SPARK = f"""
+    WITH bands AS (SELECT * FROM ({_BANDS}) AS t(band, lo, hi)),
+    binned_bands AS (
+      SELECT band, lo, hi,
+             explode(sequence(CAST(FLOOR(lo / {_BIN_W}) AS INT),
+                              CAST(CEIL(hi / {_BIN_W}) AS INT) - 1)) AS bin
+      FROM bands
+    ),
+    ev AS (
+      SELECT value, CAST(FLOOR(value / {_BIN_W}) AS INT) AS bin FROM events
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM ev JOIN binned_bands b
+      ON ev.bin = b.bin AND ev.value >= b.lo AND ev.value < b.hi
+    GROUP BY band
+"""
+
+EVENTS_VALUE_BANDS_ORACLE = f"""
+    WITH bands AS (SELECT * FROM ({_BANDS}) AS t(band, lo, hi))
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+"""
 
 N_SALT = 8
 

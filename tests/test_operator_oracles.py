@@ -48,7 +48,7 @@ QUERIES = [
     "extract_fixture_spans", "extract_synth_corpus", "multimodal_meta",
     "multimodal_features", "customers_no_big_order", "dedup_components",
     "render_pagexml", "events_by_segment_salted", "ann_topk_ivf",
-    "token_stats_bpe",
+    "token_stats_bpe", "events_asof_order", "events_value_bands",
 ]
 
 
