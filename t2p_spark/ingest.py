@@ -29,11 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 def docs_from_json_dir(spark: SparkSession, json_dir: str,
                        dims: DataFrame,
-                       chunk_size: int = 1 << 20) -> DataFrame:
+                       chunk_size: int = 1 << 20,
+                       streaming: bool = False) -> DataFrame:
     """(json files under json_dir) x dims(doc_id, width, height, media_ref)
-    -> docs(doc_id, spans) in the interleaved span encoding."""
+    -> docs(doc_id, spans) in the interleaved span encoding.
+
+    streaming=True returns the same table as an UNBOUNDED stream
+    (readStream over the directory — a landing zone continuously receiving
+    Textract responses); feed it to streaming.extract_stream for
+    end-to-end streaming extraction with the idempotent sink.
+    """
+    reader = spark.readStream if streaming else spark.read
     raw = (
-        spark.read.format("text").option("wholetext", "true").load(json_dir)
+        reader.format("text").option("wholetext", "true").load(json_dir)
         .select(
             F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
             .alias("doc_id"),

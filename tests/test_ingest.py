@@ -45,6 +45,39 @@ def test_ingest_json_dir_roundtrip(spark, tmp_path):
         assert got == load_golden(doc_id)["spans"], doc_id
 
 
+def test_streaming_ingest_extract(spark, tmp_path):
+    """JSON landing zone as a stream -> extraction stream == goldens."""
+    from t2p_spark.streaming import extract_stream
+
+    json_dir = str(tmp_path / "responses")
+    (tmp_path / "responses").mkdir()
+    ids = fixture_ids()
+    for doc_id in ids:
+        shutil.copy(f"{REF_JSON_DIR}/{doc_id}.json",
+                    f"{json_dir}/{doc_id}.json")
+    dims = spark.createDataFrame(
+        [(d, golden_meta(d)["width"], golden_meta(d)["height"],
+          golden_meta(d)["media_ref"]) for d in ids],
+        "doc_id string, width int, height int, media_ref string",
+    )
+    stream = docs_from_json_dir(spark, json_dir, dims, streaming=True)
+    q = (
+        extract_stream(stream)
+        .writeStream.format("memory").queryName("ingest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["status"], r["n_spans"])
+        for r in spark.sql("SELECT * FROM ingest_stream").collect()
+    }
+    want = {d: ("ok", len(load_golden(d)["spans"])) for d in ids}
+    assert got == want
+
+
 def test_ingest_small_chunks(spark, tmp_path):
     """Chunked encoding (many text spans per doc) reassembles identically."""
     json_dir = str(tmp_path / "responses")
