@@ -561,27 +561,24 @@ def build_model(aws_json: Dict) -> _Model:
     kv_blocks: Dict[str, Dict] = {}
     layout_blocks: Dict[str, Dict] = {}
     block_order: Dict[str, int] = {}
+    # dict dispatch replaces the reference's 8 sequential string compares
+    # per block (same routing: BlockTypes are mutually exclusive except the
+    # LAYOUT_ prefix family; PAGE keeps its exact single-page assert)
+    buckets = {
+        "LINE": line_blocks, "WORD": word_blocks, "TABLE": table_blocks,
+        "CELL": cell_blocks, "MERGED_CELL": merged_cell_blocks,
+        "SELECTION_ELEMENT": selection_blocks, "KEY_VALUE_SET": kv_blocks,
+    }
     for order, block in enumerate(aws_json["Blocks"]):
         block_order[block["Id"]] = order
         bt = block["BlockType"]
-        if bt == "PAGE":
+        target = buckets.get(bt)
+        if target is not None:
+            target[block["Id"]] = block
+        elif bt == "PAGE":
             assert page_block is None, "page must not have more than 1 PAGE block"
             page_block = block
-        if bt == "LINE":
-            line_blocks[block["Id"]] = block
-        if bt == "WORD":
-            word_blocks[block["Id"]] = block
-        if bt == "TABLE":
-            table_blocks[block["Id"]] = block
-        if bt == "CELL":
-            cell_blocks[block["Id"]] = block
-        if bt == "MERGED_CELL":
-            merged_cell_blocks[block["Id"]] = block
-        if bt == "SELECTION_ELEMENT":
-            selection_blocks[block["Id"]] = block
-        if bt == "KEY_VALUE_SET":
-            kv_blocks[block["Id"]] = block
-        if bt.startswith("LAYOUT_"):
+        elif bt.startswith("LAYOUT_"):
             layout_blocks[block["Id"]] = block
         # TABLE_TITLE / TABLE_FOOTER blocks are collected but never used by
         # the reference (§2.8.6) — we skip the dead buckets entirely.
