@@ -145,6 +145,25 @@ RELATIONAL_SQL = {
             WHERE o_custkey = c_custkey AND o_totalprice > 300000
           )
     """,
+    # hypertable-style continuous aggregate: one pass producing the whole
+    # time hierarchy (hour -> day -> type -> grand total) via ROLLUP
+    # grouping sets — the batch equivalent of a Timescale continuous
+    # aggregate; NULLed columns mark the rollup level. Shared ANSI text.
+    "events_hypertable_rollup": """
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS day_bucket,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM events
+        GROUP BY ROLLUP(
+          event_type,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+          date_trunc('hour', CAST(ts AS TIMESTAMP))
+        )
+    """,
     # scalar/extract functions + conditional agg over the JSON props column.
     "events_props_stats": """
         SELECT

@@ -404,6 +404,39 @@ def _build(engine: str) -> dict:
         GROUP BY source
     """
 
+    # KMV (k-minimum-values) distinct sketch over event users — the
+    # deterministic mergeable sketch (HLL's approx_count_distinct differs
+    # between engines, so it cannot be twin-checked; KMV with a shared md5
+    # hash is bit-identical). Estimate = (k-1) * 2^60 / kth_min_hash;
+    # (k-1)*2^60 and the division are exact/deterministic in IEEE double.
+    # At scale: one shuffle on event_type; the per-group top-k is
+    # window-limited map-side (WindowGroupLimit).
+    uid_str = ("CAST(user_id AS STRING)" if e == "s"
+               else "CAST(user_id AS VARCHAR)")
+    kmv_hash = _hash60(uid_str, e)
+    q["distinct_users_kmv"] = f"""
+        WITH h AS (
+          SELECT DISTINCT event_type, user_id FROM events
+        ),
+        ranked AS (
+          SELECT event_type, {kmv_hash} AS hv,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY {kmv_hash}
+                 ) AS rn
+          FROM h
+        ),
+        kth AS (
+          SELECT event_type, MAX(hv) AS kth_hash,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM ranked WHERE rn <= 32
+          GROUP BY event_type
+        )
+        SELECT event_type, k,
+               CAST(FLOOR((k - 1) * 1152921504606846976.0 / kth_hash)
+                    AS BIGINT) AS est_distinct
+        FROM kth
+    """
+
     # rolling polynomial fingerprint (order-sensitive left fold, mod prime)
     if e == "s":
         fold = ("aggregate(thashes, 0L, "
