@@ -42,6 +42,25 @@ def extract_stream(docs_stream: DataFrame) -> DataFrame:
     return assembled.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
 
 
+def write_extract_batch(batch_df: DataFrame, batch_id: int,
+                        output_path: str) -> None:
+    """Idempotent microbatch sink: partitioned by (batch_id, bucket) with
+    dynamic partition overwrite, so a retried microbatch rewrites exactly
+    its own batch_id partitions — at-least-once delivery becomes
+    effectively-once durable output."""
+    batch_df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    (batch_df
+     .withColumn("batch_id", F.lit(batch_id))
+     .withColumn(
+         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+     )
+     .write.mode("overwrite")
+     .partitionBy("batch_id", "bucket")
+     .parquet(output_path))
+
+
 def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
                        checkpoint_path: str, available_now: bool = True):
     """availableNow=True drains the current table once (backfill mode);
@@ -56,17 +75,7 @@ def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
     out = extract_stream(read_docs_stream(spark, input_path))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (batch_df
-         .withColumn("batch_id", F.lit(batch_id))
-         .withColumn(
-             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
-         )
-         .write.mode("overwrite")
-         .partitionBy("batch_id", "bucket")
-         .parquet(output_path))
+        write_extract_batch(batch_df, batch_id, output_path)
 
     writer = (
         out.writeStream.foreachBatch(_sink)

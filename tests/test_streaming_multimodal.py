@@ -69,6 +69,26 @@ def test_streaming_events_window_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sink_idempotent_on_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME microbatch
+    (same batch_id, e.g. retry after a partial write) must not duplicate
+    rows; a LATER batch must append."""
+    from t2p_spark.pipeline import extract
+    from t2p_spark.streaming import write_extract_batch
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20))[:4], schema=DOCS_SCHEMA
+    )
+    out = extract(docs, parallelism=2)
+    path = str(tmp_path / "sink")
+    write_extract_batch(out, 0, path)
+    n1 = spark.read.parquet(path).count()
+    write_extract_batch(out, 0, path)  # retry of batch 0
+    assert spark.read.parquet(path).count() == n1
+    write_extract_batch(out, 1, path)  # a genuinely new batch appends
+    assert spark.read.parquet(path).count() == 2 * n1
+
+
 def test_streaming_sessionize_equals_batch(spark, tmp_path):
     """applyInPandasWithState sessionization drained over chronological
     file chunks == the batch window-function sessionization."""
