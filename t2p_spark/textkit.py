@@ -501,7 +501,8 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dedup_components(spark: SparkSession, max_iters: int = 20,
-                     pairs: Optional[DataFrame] = None) -> DataFrame:
+                     pairs: Optional[DataFrame] = None,
+                     driver_threshold: int = 100_000) -> DataFrame:
     """Near-dup cluster resolution: connected components over the
     MinHash-LSH candidate pairs, each doc labeled with its component's
     minimum doc_id (the canonical representative a dedup pipeline keeps).
@@ -524,6 +525,39 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
         prepare_textkit_views(spark, "dedup_minhash_lsh")
         pairs = spark.sql(spark_sql_queries()["dedup_minhash_lsh"])
     pairs = pairs.cache()  # the union below reads it twice
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        # small candidate set: each distributed round costs seconds of pure
+        # job latency regardless of data size; union-find on the driver is
+        # exact, instant, and standard practice (near-dup pair sets are a
+        # tiny fraction of the corpus). The distributed loop below is the
+        # scale path for pair sets that do not fit one machine.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = pairs.collect()
+        for r in rows:
+            a, b = r["doc_a"], r["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root IS the canonical min doc_id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(doc, find(doc)) for doc in parent]
+        pairs.unpersist()
+        return spark.createDataFrame(
+            sorted(out), "doc_id long, cluster_rep long"
+        )
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))

@@ -109,11 +109,16 @@ def test_dedup_components_chain_propagation(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
     )
-    got = {
-        r["doc_id"]: r["cluster_rep"]
-        for r in textkit.dedup_components(spark, pairs=pairs).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # driver union-find path (small sets) AND the distributed
+    # label-propagation path (forced via threshold=0) must agree
+    for thresh in (100_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in textkit.dedup_components(
+                spark, pairs=pairs, driver_threshold=thresh).collect()
+        }
+        assert got == want, f"threshold={thresh}"
 
 
 def test_kernel_quarantines_non_object_json(spark):
