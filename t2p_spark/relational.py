@@ -145,6 +145,42 @@ RELATIONAL_SQL = {
             WHERE o_custkey = c_custkey AND o_totalprice > 300000
           )
     """,
+    # TPC-H Q4 shape: EXISTS semi-join + priority distribution (plans as a
+    # shuffled LeftSemi; the subquery never broadcasts a requirement).
+    "q4_order_priority": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    # preserved-null counting + double aggregation.
+    "q13_customer_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey,
+                 CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # TPC-H Q16 shape: distinct-supplier count per part bucket (COUNT
+    # DISTINCT under a join — partial-agg-hostile, the classic two-shuffle
+    # expand plan).
+    "q16_parts_supplier_breadth": """
+        SELECT p_brand, p_type,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY p_brand, p_type
+    """,
     # hypertable-style continuous aggregate: one pass producing the whole
     # time hierarchy (hour -> day -> type -> grand total) via ROLLUP
     # grouping sets — the batch equivalent of a Timescale continuous

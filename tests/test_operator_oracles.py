@@ -49,7 +49,8 @@ QUERIES = [
     "multimodal_features", "customers_no_big_order", "dedup_components",
     "render_pagexml", "events_by_segment_salted", "ann_topk_ivf",
     "token_stats_bpe", "events_asof_order", "events_value_bands",
-    "events_hypertable_rollup", "distinct_users_kmv",
+    "events_hypertable_rollup", "distinct_users_kmv", "q4_order_priority",
+    "q13_customer_distribution", "q16_parts_supplier_breadth",
 ]
 
 
