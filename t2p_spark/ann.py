@@ -129,7 +129,11 @@ def _ivf_dist(a: str, b: str, e: str) -> str:
 
 
 def _ivf_assign(vecs: str, cents: str, e: str) -> str:
-    """Nearest-centroid assignment: argmin integer distance, ties -> min cid."""
+    """Nearest-centroid assignment: argmin integer distance, ties -> min cid.
+
+    This windowed form exists for the one-shot SQL twin (ivf_sql) where the
+    centroids are a relation; the Spark execution path uses the map-only
+    _ivf_assign_maponly instead (centroids inlined, zero exchange)."""
     return f"""
         SELECT vec_id, qe, cid FROM (
           SELECT v.vec_id, v.qe, c.cid,
@@ -139,6 +143,71 @@ def _ivf_assign(vecs: str, cents: str, e: str) -> str:
                  ) AS rn
           FROM {vecs} v CROSS JOIN {cents} c
         ) t WHERE rn = 1
+    """
+
+
+def _cent_literal(cents: list) -> str:
+    """SQL literal array<struct<cid,qe>> from driver-side centroids.
+
+    K=16 centroids x DIM=64 bigints is driver-small by definition; inlining
+    them into the SQL text IS the broadcast — every task evaluates the
+    argmin against a local constant, so assignment needs no join and no
+    exchange at any corpus size."""
+    items = []
+    for c in sorted(cents, key=lambda c: c["cid"]):
+        qe = ", ".join(f"{int(v)}L" for v in c["qe"])
+        items.append(f"named_struct('cid', CAST({int(c['cid'])} AS BIGINT), "
+                     f"'qe', array({qe}))")
+    return "array(" + ", ".join(items) + ")"
+
+
+def _ivf_assign_maponly(vecs: str, cent_lit: str) -> str:
+    """Map-only assignment: argmin over the inlined centroid array.
+
+    array_min over struct(d, cid) is lexicographic — smallest distance,
+    ties to smallest cid — identical semantics to the windowed twin's
+    ORDER BY dist, cid. Physical plan: scan -> project. Zero Exchange."""
+    return f"""
+        SELECT vec_id, qe,
+               array_min(transform({cent_lit},
+                 c -> struct({_ivf_dist('qe', 'c.qe', 's')} AS d,
+                             c.cid AS cid))).cid AS cid
+        FROM {vecs}
+    """
+
+
+def _ivf_probes_maponly(vecs: str, cent_lit: str) -> str:
+    """Map-only probe-list selection for the query vectors: sort the
+    per-centroid (dist, cid) structs, keep the first IVF_PROBE — same
+    result as the windowed rn <= IVF_PROBE, no exchange."""
+    return f"""
+        SELECT vec_id AS query_id, p.cid AS cid
+        FROM (
+          SELECT vec_id,
+                 slice(array_sort(transform({cent_lit},
+                   c -> struct({_ivf_dist('qe', 'c.qe', 's')} AS d,
+                               c.cid AS cid))), 1, {IVF_PROBE}) AS probe_arr
+          FROM {vecs} WHERE vec_id < {N_QUERIES}
+        ) q LATERAL VIEW explode(probe_arr) t AS p
+    """
+
+
+def _ivf_means_sql(assign: str) -> str:
+    """Per-cluster element-wise FLOOR-mean (Spark side): posexplode ->
+    partial+final agg on (cid, idx) — map-side combine reduces each task's
+    contribution to <= K*DIM rows before the (tiny) shuffle — -> ordered
+    array rebuild. Clusters with no members are absent; the driver keeps
+    their previous centroid (same COALESCE semantics as the SQL twin)."""
+    return f"""
+        SELECT cid, transform(array_sort(collect_list(struct(idx, val))),
+                              s -> s.val) AS qe
+        FROM (
+          SELECT cid, idx,
+                 CAST(FLOOR(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS val
+          FROM (SELECT cid, posexplode(qe) AS (idx, comp) FROM {assign}) ex
+          GROUP BY cid, idx
+        ) m GROUP BY cid
     """
 
 
@@ -315,14 +384,21 @@ def run_ivf_spark(spark: SparkSession) -> DataFrame:
     The one-shot SQL form (ivf_sql, kept verbatim for the DuckDB twin)
     re-expands every iteration's CTEs — the physical plan re-scans the
     corpus 18x. Here each stage materializes what a cluster job would:
-    the quantized vectors are cached ONCE, and each Lloyd iteration's
-    K=16 centroids are collected to the driver (centroids are driver-
-    small by definition) and re-broadcast — so the corpus is scanned
-    once per assignment pass and the plan contains no CTE blowup.
-    Identical arithmetic to ivf_sql: integer distances, FLOOR-mean
-    updates, min-cid ties.
+    the quantized vectors are cached ONCE, each Lloyd iteration's K=16
+    centroids are collected to the driver (driver-small by definition)
+    and inlined into the next pass's SQL text, and every assignment is a
+    MAP-ONLY argmin projection over that centroid constant — the corpus
+    is scanned once per pass with zero Exchange between the scan and the
+    assignment (the r2 plan shuffled N x K array-carrying rows through a
+    ROW_NUMBER window per pass — a multi-TB exchange at 10^9 vectors).
+    The only shuffle per iteration is the centroid-mean aggregation,
+    which map-side-combines to <= K*DIM rows per task. Identical
+    arithmetic to ivf_sql: integer distances, FLOOR-mean updates,
+    min-cid ties.
     """
-    key = id(spark)
+    from t2p_spark.session import session_key
+
+    key = session_key(spark)
     old = _IVF_CACHE.pop(key, None)
     if old is not None:
         old.unpersist()
@@ -333,36 +409,30 @@ def run_ivf_spark(spark: SparkSession) -> DataFrame:
     vecs.createOrReplaceTempView("ivf_vecs")
     _IVF_CACHE[key] = vecs
 
-    c = spark.sql(
-        f"SELECT vec_id - {N_QUERIES} AS cid, qe FROM ivf_vecs "
-        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}"
-    )
-    schema = c.schema
-    spark.createDataFrame(c.collect(), schema) \
-        .createOrReplaceTempView("ivf_c")
+    # deterministic init: first K corpus (non-query) vectors
+    cents = [
+        {"cid": r["cid"], "qe": list(r["qe"])}
+        for r in spark.sql(
+            f"SELECT vec_id - {N_QUERIES} AS cid, qe FROM ivf_vecs "
+            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}"
+        ).collect()
+    ]
     for _it in range(IVF_ITERS):
-        spark.sql(_ivf_assign("ivf_vecs", "ivf_c", "s")) \
+        spark.sql(_ivf_assign_maponly("ivf_vecs", _cent_literal(cents))) \
             .createOrReplaceTempView("ivf_a")
-        new_c = spark.sql(_ivf_update("ivf_a", "ivf_c", "s")).collect()
-        spark.createDataFrame(new_c, schema) \
-            .createOrReplaceTempView("ivf_c")
-    spark.sql(_ivf_assign("ivf_vecs", "ivf_c", "s")) \
+        means = {r["cid"]: list(r["qe"])
+                 for r in spark.sql(_ivf_means_sql("ivf_a")).collect()}
+        # empty clusters keep their previous centroid (twin's COALESCE)
+        cents = [{"cid": c["cid"], "qe": means.get(c["cid"], c["qe"])}
+                 for c in cents]
+    cent_lit = _cent_literal(cents)
+    spark.sql(_ivf_assign_maponly("ivf_vecs", cent_lit)) \
         .createOrReplaceTempView("ivf_af")
 
     cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', 's')} "
            f"/ (q.norm * c.norm), 6)")
     return spark.sql(f"""
-        WITH probes AS (
-          SELECT vec_id AS query_id, cid FROM (
-            SELECT v.vec_id, c.cid,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY v.vec_id
-                     ORDER BY {_ivf_dist('v.qe', 'c.qe', 's')}, c.cid
-                   ) AS rn
-            FROM ivf_vecs v CROSS JOIN ivf_c c
-            WHERE v.vec_id < {N_QUERIES}
-          ) t WHERE rn <= {IVF_PROBE}
-        ),
+        WITH probes AS ({_ivf_probes_maponly('ivf_vecs', cent_lit)}),
         cands AS (
           SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
           FROM probes p JOIN ivf_af a ON a.cid = p.cid
