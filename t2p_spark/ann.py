@@ -41,6 +41,10 @@ N_QUERIES = 8  # vec_id < 8 are the query vectors
 # within-bucket cosine ~0.45 at sf0.01), so a production-style 0.9 would
 # trivially return zero rows; 0.35 keeps the operator's output non-empty.
 NEARDUP_TAU = 0.35
+# multi-probe LSH: how many lowest-|margin| hyperplane bits to flip per
+# query (probe set = own bucket + N_FLIPS single-bit neighbors). Scale
+# preset: grow with n_planes (recall loss per plane compounds).
+N_FLIPS = 2
 
 _rng = random.Random(20240716)
 PLANES = [
@@ -371,6 +375,65 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
         FROM vecs q JOIN vecs c
           ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         WHERE {cos} >= {NEARDUP_TAU}
+    """
+    # multi-probe LSH: probe the query's own bucket PLUS the buckets
+    # reached by flipping the N_FLIPS lowest-|margin| hyperplane bits —
+    # the recall fix single-probe LSH needs as the bucket space grows
+    # (at 2^20 buckets a near neighbor routinely sits one low-margin bit
+    # away). Margins are the plane dots the bucket already evaluates;
+    # the candidate join stays an equi-join on bucket, so the scale shape
+    # is unchanged — only the (tiny) query side fans out x(1+N_FLIPS).
+    # Engine parity: margins ROUNDed before ranking; (j, p) tie-break;
+    # bit flip via arithmetic on the &-tested bit (DuckDB's ^ is POWER,
+    # so no XOR operator in the shared text).
+    arms = []
+    for j, plane in enumerate(planes):
+        arms.append(
+            f"SELECT vec_id, bucket, {j} AS j, {1 << j} AS p, "
+            f"ROUND(ABS({_dot('embedding', plane, engine)}), 6) AS m "
+            f"FROM qvecs"
+        )
+    qm = " UNION ALL ".join(arms)
+    q["ann_topk_multiprobe"] = f"""
+        WITH vecs AS ({base}),
+        qvecs AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+        qm AS ({qm}),
+        flips AS (
+          SELECT vec_id, CASE WHEN (bucket & p) > 0 THEN bucket - p
+                              ELSE bucket + p END AS bucket
+          FROM (
+            SELECT vec_id, bucket, p, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, j)
+                     AS rn
+            FROM qm
+          ) r WHERE rn <= {N_FLIPS}
+        ),
+        probes AS (
+          SELECT vec_id, bucket FROM qvecs
+          UNION
+          SELECT vec_id, bucket FROM flips
+        ),
+        cands AS (
+          SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM probes p JOIN vecs c ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.vec_id
+        ),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM cands cd
+          JOIN vecs q ON q.vec_id = cd.query_id
+          JOIN vecs c ON c.vec_id = cd.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
     """
     return q
 

@@ -142,15 +142,18 @@ def _append_first_seen(dst: list, items) -> None:
 def get_child_ids(block: Dict) -> List[str]:
     """First CHILD relationship group only — convert_aws.py:611-631 (§2.8.4).
 
-    Single pass (the first matching group wins either way); ``r["Type"]``
-    in the original second scan could not raise because the first scan
-    proved a CHILD entry exists via .get.
+    Crash parity: once any CHILD entry exists (probed with .get), the
+    reference's comprehension evaluates ``rel["Type"]`` on EVERY
+    relationship — a relationship dict missing "Type" raises KeyError
+    (-> quarantine). A first-CHILD early return would skip that scan and
+    convert such docs successfully, silently diverging from the reference
+    (r2 ADVICE). Likewise Ids defaults via .get(.., []) — an explicit
+    ``"Ids": null`` propagates None and crashes in the caller, as there.
     """
     rels = block.get("Relationships") or []
-    for r in rels:
-        if r.get("Type") == "CHILD":
-            return r.get("Ids") or []
-    return []
+    if not any(r.get("Type") == "CHILD" for r in rels):
+        return []
+    return [r.get("Ids", []) for r in rels if r["Type"] == "CHILD"][0]
 
 
 # ---------------------------------------------------------------------------

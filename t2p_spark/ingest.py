@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 def docs_from_json_dir(spark: SparkSession, json_dir: str,
                        dims: DataFrame,
                        chunk_size: int = 1 << 20,
-                       streaming: bool = False) -> DataFrame:
+                       streaming: bool = False,
+                       with_quarantine: bool = False):
     """(json files under json_dir) x dims(doc_id, width, height, media_ref)
     -> docs(doc_id, spans) in the interleaved span encoding.
 
@@ -38,17 +39,27 @@ def docs_from_json_dir(spark: SparkSession, json_dir: str,
     (readStream over the directory — a landing zone continuously receiving
     Textract responses); feed it to streaming.extract_stream for
     end-to-end streaming extraction with the idempotent sink.
+
+    with_quarantine=True returns (docs, quarantined) where quarantined is
+    (doc_id, reason) for files whose doc_id has no dims row — otherwise
+    those are dropped, which at lake scale silently loses documents.
+
+    input_file_name() returns a URL-ENCODED URI: filenames with spaces,
+    '%', or '#' arrive percent-encoded and would never match the dims key
+    (r2 ADVICE) — decode before extracting the stem (try_ variant:
+    malformed escapes keep the raw name rather than failing the scan).
     """
     reader = spark.readStream if streaming else spark.read
+    fname = F.input_file_name()
+    decoded = F.coalesce(F.call_function("try_url_decode", fname), fname)
     raw = (
         reader.format("text").option("wholetext", "true").load(json_dir)
         .select(
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
-            .alias("doc_id"),
+            F.regexp_extract(decoded, r"([^/]+)\.json$", 1).alias("doc_id"),
             F.col("value").alias("json_text"),
         )
     )
-    j = raw.join(dims, "doc_id")
+    j = raw.join(dims, "doc_id", "left" if with_quarantine else "inner")
 
     media_span = F.struct(
         F.lit("media").alias("kind"),
@@ -71,7 +82,13 @@ def docs_from_json_dir(spark: SparkSession, json_dir: str,
             (i + 1).cast("int").alias("offset"),
         ),
     )
-    return j.select(
+    docs = j.filter(F.col("width").isNotNull()) if with_quarantine else j
+    docs = docs.select(
         "doc_id",
         F.concat(F.array(media_span), text_spans).alias("spans"),
     )
+    if with_quarantine:
+        quarantined = j.filter(F.col("width").isNull()).select(
+            "doc_id", F.lit("missing_dims").alias("reason"))
+        return docs, quarantined
+    return docs

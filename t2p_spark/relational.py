@@ -214,30 +214,40 @@ RELATIONAL_SQL = {
 
 
 _REGISTERED: dict = {}
+# Bumped each time a session's views are (re)registered; downstream
+# materialized caches (textkit.documents_tok, ann's vector cache) key on
+# (session, generation) so swapping sf_dir can never serve a stale cache.
+VIEW_GENERATION: dict = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the star-schema tables as temp views (idempotent per session).
 
-    Single-file local tables scan as ONE partition, which serializes every
-    downstream stage; a real deployment has thousands of splits. Repartition
-    small scans up to the session parallelism — results are unaffected
-    (queries here are order-insensitive), plans get genuine parallelism.
+    LOCAL MODE ONLY: single-file local tables scan as ONE partition, which
+    serializes every downstream stage; a real deployment has thousands of
+    splits, so the blind repartition would be a pure waste of a shuffle
+    there — the gate keeps the registration path cluster-shaped. Results
+    are unaffected either way (queries here are order-insensitive).
 
     Registration is cached per (session, sf_dir): the bench loop calls every
     query through here, and re-reading + repartitioning ten tables per query
     measures setup, not the query.
     """
-    key = (id(spark), sf_dir)
+    from t2p_spark.session import session_key
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
     if _REGISTERED.get(key):
         return
     par = spark.sparkContext.defaultParallelism
+    is_local = spark.sparkContext.master.startswith("local")
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if df.rdd.getNumPartitions() < max(2, par // 2):
+        if is_local and df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
     _REGISTERED[key] = True
+    VIEW_GENERATION[skey] = VIEW_GENERATION.get(skey, 0) + 1
 
 
 def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -471,15 +471,21 @@ def ensure_documents_tok(spark: SparkSession, force: bool = False) -> None:
     every array-lambda element access downstream — the regex split then
     reruns once per shingle/bit access (measured 10-30x blowup at sf0.1).
     The cached view is small (tokens ~= text size) and every textkit query
-    reuses it. Idempotent per session (the bench loop calls every query
-    through here); pass force=True after swapping the ``documents`` view.
+    reuses it. Keyed by (session lifetime, view generation): the session
+    key survives id() reuse after GC, and the generation bumps whenever
+    register_views swaps the ``documents`` view (new sf_dir), so a stale
+    documents_tok can never be served silently (r2 ADVICE). force=True
+    still rebuilds unconditionally.
     """
-    key = id(spark)
+    from t2p_spark.relational import VIEW_GENERATION
+    from t2p_spark.session import session_key
+
+    skey = session_key(spark)
+    key = (skey, VIEW_GENERATION.get(skey, 0))
     if not force and key in _TOK_CACHE:
         return
-    old = _TOK_CACHE.pop(key, None)
-    if old is not None:
-        old.unpersist()
+    for stale in [k for k in _TOK_CACHE if k[0] == skey]:
+        _TOK_CACHE.pop(stale).unpersist()
     df = spark.sql(
         "SELECT doc_id, source, n_chars, text, "
         f"{_tokens('text', 's')} AS toks, "
@@ -569,6 +575,7 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
         .cache()
     )
     prev_sum = None  # derived inside the first iteration's single action
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -596,10 +603,20 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
     pairs.unpersist()
+    if not converged:
+        # a silent exit here would hand back labels that are NOT the
+        # component minima (graph diameter > max_iters) and nothing
+        # downstream could tell — fail loudly instead (r2 ADVICE)
+        raise RuntimeError(
+            f"dedup_components: label propagation did not converge in "
+            f"{max_iters} rounds (graph diameter exceeds max_iters); "
+            f"raise max_iters for long-chain graphs"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_rep")
     )
@@ -630,6 +647,9 @@ def dedup_components_oracle_sql() -> str:
 def prepare_textkit_views(spark: SparkSession, name: str) -> None:
     """Materialize the helper views a textkit query reads, over whatever
     ``documents`` view is currently registered (tests use synthetic ones)."""
+    from t2p_spark.session import session_key
+
+    skey = session_key(spark)
     if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
         ensure_documents_tok(spark)
     if name == "dedup_minhash_lsh":
@@ -637,7 +657,7 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):
         # cached: the banded self-join reads this relation twice, and the
         # 60-bit vote fold is the expensive part
-        old = _TOK_CACHE.pop(("simhash_mat", id(spark)), None)
+        old = _TOK_CACHE.pop(("simhash_mat", skey), None)
         if old is not None:
             old.unpersist()
         sh = spark.sql(
@@ -645,7 +665,7 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
             "FROM documents_tok th"
         ).cache()
         sh.createOrReplaceTempView("simhash_mat")
-        _TOK_CACHE[("simhash_mat", id(spark))] = sh
+        _TOK_CACHE[("simhash_mat", skey)] = sh
     elif name == "ngram_jaccard_pairs":
         sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
         spark.sql(f"""
@@ -653,11 +673,11 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
               SELECT doc_id, {sh4} AS sh FROM documents_tok
             ) s WHERE size(sh) > 0
         """).createOrReplaceTempView("docsh_mat")
-        old = _TOK_CACHE.pop(("tok_mat", id(spark)), None)
+        old = _TOK_CACHE.pop(("tok_mat", skey), None)
         if old is not None:
             old.unpersist()
         tok = spark.sql(
             "SELECT doc_id, explode(sh) AS shingle FROM docsh_mat"
         ).cache()
         tok.createOrReplaceTempView("tok_mat")
-        _TOK_CACHE[("tok_mat", id(spark))] = tok
+        _TOK_CACHE[("tok_mat", skey)] = tok

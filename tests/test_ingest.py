@@ -95,3 +95,37 @@ def test_ingest_small_chunks(spark, tmp_path):
     out = extract(docs).collect()[0]
     assert out["status"] == "ok"
     assert [list(s) for s in out["spans"]] == load_golden(doc_id)["spans"]
+
+
+def test_ingest_encoded_names_and_quarantine(spark, tmp_path):
+    """Filenames with spaces/%/# decode to the right doc_id (r2 ADVICE:
+    input_file_name() is URL-encoded), and dim-less docs route to the
+    quarantine frame instead of silently dropping."""
+    json_dir = str(tmp_path / "responses")
+    (tmp_path / "responses").mkdir()
+    src = fixture_ids()[0]
+    g = golden_meta(src)
+    tricky = ["doc with space", "doc%20literal", "doc#frag", "plain"]
+    for name in tricky:
+        shutil.copy(f"{REF_JSON_DIR}/{src}.json", f"{json_dir}/{name}.json")
+    # dims for all but the last -> exactly one quarantined doc
+    dims = spark.createDataFrame(
+        [(n, g["width"], g["height"], g["media_ref"]) for n in tricky[:-1]],
+        "doc_id string, width int, height int, media_ref string",
+    )
+    docs, quarantined = docs_from_json_dir(
+        spark, json_dir, dims, with_quarantine=True)
+    got_ids = sorted(r["doc_id"] for r in docs.collect())
+    assert got_ids == sorted(tricky[:-1])
+    q = quarantined.collect()
+    assert [(r["doc_id"], r["reason"]) for r in q] == \
+        [("plain", "missing_dims")]
+    # ingested payloads still extract to the source fixture's golden
+    out = extract(docs, parallelism=2).collect()
+    assert all(r["status"] == "ok" for r in out)
+    want = load_golden(src)["spans"]
+    for r in out:
+        got = [list(s) for s in r["spans"]]
+        # media span carries the doc's own media_ref; text spans identical
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert got[1:] == want[1:]

@@ -141,3 +141,38 @@ def test_convert_doc_safe_never_raises(doc):
         _fingerprint("doc", spans)
     else:
         assert spans == [] and error
+
+
+def test_typeless_relationship_crash_parity():
+    """convert_aws.py:622-630: once any CHILD relationship exists, the
+    reference evaluates rel["Type"] on EVERY relationship — a Type-less
+    entry raises KeyError, so the doc must quarantine (r2 ADVICE: an
+    early-return-at-first-CHILD silently converted such docs)."""
+    import copy
+
+    import pytest
+
+    from t2p_spark.convert import get_child_ids
+
+    block = {"Relationships": [
+        {"Type": "CHILD", "Ids": ["a"]},
+        {"Ids": ["b"]},  # missing "Type"
+    ]}
+    with pytest.raises(KeyError):
+        get_child_ids(block)
+    # without any CHILD the probe scan uses .get and cannot raise
+    assert get_child_ids({"Relationships": [{"Ids": ["b"]}]}) == []
+    # and explicit "Ids": null propagates None (caller crashes, like the
+    # reference's rel.get("Ids", []) comprehension)
+    assert get_child_ids(
+        {"Relationships": [{"Type": "CHILD", "Ids": None}]}) is None
+
+    # end-to-end: such a doc quarantines instead of converting (LINE —
+    # PAGE children are never fetched through this accessor, there or here)
+    doc = copy.deepcopy(_BASE_DOC)
+    for b in doc["Blocks"]:
+        if b.get("BlockType") == "LINE" and b.get("Relationships"):
+            b["Relationships"].append({"Ids": ["dangling"]})
+            break
+    status, spans, error = convert_doc_safe(doc, 2135, 3240, "m.jpg")
+    assert status == "quarantined" and "KeyError" in error

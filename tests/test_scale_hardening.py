@@ -28,10 +28,13 @@ def _restore_views(spark):
     # drop the synthetic views so later tests re-register the real tables
     from t2p_spark import relational
 
-    for k in [k for k in relational._REGISTERED if k[0] == id(spark)]:
+    from t2p_spark.session import session_key
+
+    skey = session_key(spark)
+    for k in [k for k in relational._REGISTERED if k[0] == skey]:
         relational._REGISTERED.pop(k)
     for k in [k for k in textkit._TOK_CACHE
-              if k == id(spark) or (isinstance(k, tuple) and id(spark) in k)]:
+              if (isinstance(k, tuple) and skey in k)]:
         df = textkit._TOK_CACHE.pop(k)
         df.unpersist()
     for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat",
@@ -217,3 +220,64 @@ def test_iceberg_write_read_resume(spark, tmp_path):
     write_extracted(spark, extract(docs, parallelism=2),
                     "db.t2p_test_extracted", n_buckets=8)
     assert spark.table(lineage["table"]).count() == 8
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    """Planted-neighbor corpus at n_planes=12 (4096 buckets): each query
+    has 12 genuine near-duplicates (cos ~0.98) whose buckets differ from
+    the query's by the occasional low-margin bit flip. Single-probe LSH
+    misses every neighbor that flipped a bit; probing the N_FLIPS
+    lowest-|margin| bit-flip buckets — exactly the likeliest flips — must
+    recover strictly more of the brute-force top-10. (The sf testdata
+    embeddings are near-orthogonal: no true neighbors exist there, so
+    recall is 0 for every probe strategy — hence the planted corpus.)"""
+    import random
+
+    from t2p_spark import relational
+    from t2p_spark.ann import DIM, TOP_K, ann_sql
+    from t2p_spark.session import session_key
+
+    rng = random.Random(7)
+
+    def rand_vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+    queries = [rand_vec() for _ in range(8)]
+    rows = [(i, "q", v) for i, v in enumerate(queries)]
+    nid = 100
+    for qv in queries:
+        for _ in range(12):  # planted near-dups: small per-component noise
+            rows.append((nid, "nbr",
+                         [x + rng.gauss(0.0, 0.12) for x in qv]))
+            nid += 1
+    for _ in range(1500):  # background
+        rows.append((nid, "bg", rand_vec()))
+        nid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).createOrReplaceTempView("embeddings")
+    try:
+        q = ann_sql("s", n_planes=12)
+
+        def topk(name):
+            out = {}
+            for r in spark.sql(q[name]).collect():
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return out
+
+        brute = topk("ann_topk_brute")
+
+        def recall(got):
+            hits = sum(len(got.get(qid, set()) & nbrs)
+                       for qid, nbrs in brute.items())
+            return hits / (len(brute) * TOP_K)
+
+        r_single = recall(topk("ann_topk_lsh"))
+        r_multi = recall(topk("ann_topk_multiprobe"))
+        assert r_multi > r_single, (r_single, r_multi)
+        assert r_multi >= 0.5, (r_single, r_multi)
+    finally:
+        spark.catalog.dropTempView("embeddings")
+        skey = session_key(spark)
+        for k in [k for k in relational._REGISTERED if k[0] == skey]:
+            relational._REGISTERED.pop(k)
