@@ -253,6 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = (lambda n: lambda spark, sf: run_ann(spark, sf, n))(name)
     # IVF coarse-quantizer ANN (integer-exact unrolled k-means; scale path)
     out["ann_topk_ivf"] = lambda spark, sf: run_ann(spark, sf, "ann_topk_ivf")
+    # streaming twins under the hard oracle: drain the stateful
+    # applyInPandasWithState sessionization / watermarked tumbling stream
+    # over chronological chunk files; oracle = the batch SQL
+    from t2p_spark.streaming import (
+        sessionize_streamed_result, tumbling_streamed_result,
+    )
+    out["events_sessionize_streamed"] = sessionize_streamed_result
+    out["events_tumbling_streamed"] = tumbling_streamed_result
     return out
 
 
@@ -283,4 +291,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof_order"] = EVENTS_ASOF_ORACLE
     out["events_value_bands"] = EVENTS_VALUE_BANDS_ORACLE
     out["ann_topk_ivf"] = ivf_sql("d")
+    # drained streams == the batch SQL (shared ANSI text, verbatim)
+    out["events_sessionize_streamed"] = RELATIONAL_SQL["events_sessionize"]
+    out["events_tumbling_streamed"] = RELATIONAL_SQL["events_tumbling_hour"]
     return out

@@ -159,6 +159,81 @@ def run_sessionize_stream(spark: SparkSession, events_path: str,
     )
 
 
+def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
+                                n_chunks: int = 4):
+    """Stage the events table as n_chunks chronologically-disjoint parquet
+    files written in order (the file stream replays them oldest-first by
+    modification time) — a faithful replay of how a landing zone receives
+    history, and the precondition for stream==batch equality: the stateful
+    gap fold assumes batches arrive in time order, and the watermark drops
+    data arriving >2h late. Returns (dir, schema)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out_dir = tempfile.mkdtemp(prefix="t2p_events_stream_")
+    n = ev.count()
+    per = (n + n_chunks - 1) // n_chunks
+    rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+    chunked = ev.withColumn("_rn", rn)
+    for i in range(n_chunks):
+        (chunked
+         .filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
+         .drop("_rn").coalesce(1).write.mode("append").parquet(out_dir))
+    return out_dir, ev.schema
+
+
+_STREAM_SEQ = [0]
+
+
+def _next_qname(prefix: str) -> str:
+    _STREAM_SEQ[0] += 1
+    return f"{prefix}_{_STREAM_SEQ[0]}"
+
+
+def sessionize_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle surface for the stateful sessionization stream: drain
+    the applyInPandasWithState stream over chronological chunks with
+    availableNow and return the FINAL per-user totals. The update-mode
+    memory sink accumulates one row per (user, microbatch); running totals
+    only grow, so MAX per user is the drained state. Oracle: the batch
+    events_sessionize window SQL (RELATIONAL_SQL) — hash equality means
+    the stateful streaming operator reproduces the batch semantics."""
+    import tempfile
+
+    path, schema = _stage_chronological_chunks(spark, sf_dir)
+    qname = _next_qname("sess_streamed")
+    q = run_sessionize_stream(spark, path, schema,
+                              tempfile.mkdtemp(prefix="t2p_ck_"), qname)
+    q.awaitTermination()
+    return spark.sql(f"""
+        SELECT user_id,
+               MAX(n_sessions) AS n_sessions,
+               MAX(n_events) AS n_events
+        FROM {qname} GROUP BY user_id
+    """)
+
+
+def tumbling_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle surface for the watermarked tumbling-window stream:
+    drain over chronological chunks (complete output mode — the memory
+    table IS the final aggregate). Oracle: the batch events_tumbling_hour
+    SQL. Chronological replay matters: the 2h watermark would drop
+    genuinely-late rows if chunks arrived out of order."""
+    import tempfile
+
+    path, schema = _stage_chronological_chunks(spark, sf_dir)
+    qname = _next_qname("tumbling_streamed")
+    q = run_events_stream(spark, path, schema,
+                          tempfile.mkdtemp(prefix="t2p_ck_"), qname)
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT event_type, hour_bucket, n_events, total_value "
+        f"FROM {qname}"
+    )
+
+
 def events_tumbling_stream(events_stream: DataFrame) -> DataFrame:
     """Watermarked 1h tumbling windows per event_type (late data > 2h dropped)."""
     return (
