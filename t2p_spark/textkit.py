@@ -80,9 +80,14 @@ def _adistinct(lst: str, engine: str) -> str:
     return f"array_distinct({lst})" if engine == "s" else f"list_distinct({lst})"
 
 
-N_MINHASH = 8  # 4 bands x 2 rows
-SIMHASH_BITS = 60       # 4 hamming bands x 15 bits (fits signed BIGINT)
-SIMHASH_BANDS = 4
+# Scale-preset knobs (builder arguments of _build/spark_sql_queries/
+# duckdb_oracle_queries, mirroring ann.make_planes): defaults match the
+# oracle corpus; at 10^9+ docs raise N_MINHASH (more bands -> higher
+# recall) and lower JACCARD_MAX_DF (hotter vocabulary). Both engine twins
+# derive from the same arguments, so any preset keeps oracle parity.
+N_MINHASH = 8  # bands = n/2 (2 rows per band)
+SIMHASH_BITS = 60       # fixed: fits signed BIGINT
+SIMHASH_BANDS = 4       # band_bits = 60/bands; hamming_max = bands-1
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = 3         # <= bands-1 differing bits guarantees a shared band
 # Shingles appearing in more documents than this are dropped before the
@@ -110,13 +115,14 @@ def _tok_source(engine: str) -> str:
             f" AS thashes FROM documents)")
 
 
-def _minhash_select(engine: str) -> str:
-    """SELECT doc_id, sig_0..sig_7 FROM documents WHERE >=3 tokens."""
+def _minhash_select(engine: str, n_minhash: int = None) -> str:
+    """SELECT doc_id, sig_0..sig_{n-1} FROM documents WHERE >=3 tokens."""
+    n = N_MINHASH if n_minhash is None else n_minhash
     sh = _shingles("toks", 3, engine)
     sigs = ", ".join(
         _amin(_xform("sh", f"x -> md5(concat('{j}:', x))", engine), engine)
         + f" AS sig_{j}"
-        for j in range(N_MINHASH)
+        for j in range(n)
     )
     return f"""
         SELECT doc_id, {sigs}
@@ -160,10 +166,18 @@ def _simhash_expr(hashes: str, engine: str) -> str:
 # differences are confined to the helper functions above plus two explicitly
 # forked bodies (LSH pair join shape, explode vs unnest).
 
-def _build(engine: str) -> dict:
+def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
+           jaccard_max_df: int = None) -> dict:
     e = engine
     q = {}
     tok_src = _tok_source(e)
+    n_mh = N_MINHASH if n_minhash is None else n_minhash
+    assert n_mh % 2 == 0, "minhash bands are 2-row pairs"
+    sh_bands = SIMHASH_BANDS if simhash_bands is None else simhash_bands
+    assert SIMHASH_BITS % sh_bands == 0, "bands must divide 60"
+    band_bits = SIMHASH_BITS // sh_bands
+    hamming_max = sh_bands - 1  # pigeonhole: banded == brute force
+    jac_cap = JACCARD_MAX_DF if jaccard_max_df is None else jaccard_max_df
 
     # exact dedup groups (hash-groupBy; one shuffle on the 128-bit key)
     q["dedup_exact"] = """
@@ -175,20 +189,19 @@ def _build(engine: str) -> dict:
     """
 
     # minhash signatures (scan + narrow transform, zero shuffles)
-    q["minhash_signatures"] = _minhash_select(e)
+    q["minhash_signatures"] = _minhash_select(e, n_mh)
 
     # LSH candidate pairs. Spark: explode 4 bands -> equi-join on
     # (band, key) — a shuffle on the band hash, never an OR-join nested
     # loop. DuckDB oracle: the OR-join form (fine at oracle scale).
+    band_keys = ", ".join(f"concat(sig_{2*i}, sig_{2*i+1})"
+                          for i in range(n_mh // 2))
     if e == "s":
-        q["dedup_minhash_lsh"] = """
+        q["dedup_minhash_lsh"] = f"""
             WITH bands AS (
               SELECT doc_id, band, key FROM (
                 SELECT doc_id,
-                       posexplode(array(
-                         concat(sig_0, sig_1), concat(sig_2, sig_3),
-                         concat(sig_4, sig_5), concat(sig_6, sig_7)
-                       )) AS (band, key)
+                       posexplode(array({band_keys})) AS (band, key)
                 FROM sigs_mat
               )
             )
@@ -197,14 +210,14 @@ def _build(engine: str) -> dict:
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         """
     else:
+        or_arms = "\n               OR ".join(
+            f"(a.sig_{2*i} = b.sig_{2*i} AND a.sig_{2*i+1} = b.sig_{2*i+1})"
+            for i in range(n_mh // 2))
         q["dedup_minhash_lsh"] = f"""
-            WITH sigs AS ({_minhash_select('d')})
+            WITH sigs AS ({_minhash_select('d', n_mh)})
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-            WHERE (a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1)
-               OR (a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3)
-               OR (a.sig_4 = b.sig_4 AND a.sig_5 = b.sig_5)
-               OR (a.sig_6 = b.sig_6 AND a.sig_7 = b.sig_7)
+            WHERE {or_arms}
         """
 
     # simhash clusters over precomputed per-token hashes (thashes).
@@ -231,10 +244,10 @@ def _build(engine: str) -> dict:
         q["simhash_neardup_pairs"] = f"""
             WITH bands AS (
               SELECT doc_id, simhash, band,
-                     shiftright(simhash, band * {SIMHASH_BAND_BITS})
-                       & {(1 << SIMHASH_BAND_BITS) - 1} AS key
+                     shiftright(simhash, band * {band_bits})
+                       & {(1 << band_bits) - 1} AS key
               FROM simhash_mat
-              LATERAL VIEW explode(sequence(0, {SIMHASH_BANDS - 1})) b AS band
+              LATERAL VIEW explode(sequence(0, {sh_bands - 1})) b AS band
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -245,7 +258,7 @@ def _build(engine: str) -> dict:
             SELECT doc_a, doc_b,
                    CAST(bit_count(sh_a ^ sh_b) AS INT) AS hamming
             FROM cand
-            WHERE bit_count(sh_a ^ sh_b) <= {HAMMING_MAX}
+            WHERE bit_count(sh_a ^ sh_b) <= {hamming_max}
         """
     else:
         q["simhash_neardup_pairs"] = f"""
@@ -253,7 +266,7 @@ def _build(engine: str) -> dict:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_max}
         """
 
     # n-gram Jaccard pairs: explode distinct 4-gram shingles, equi-join,
@@ -282,7 +295,7 @@ def _build(engine: str) -> dict:
         hot AS (
           SELECT shingle FROM tok_all
           GROUP BY shingle
-          HAVING COUNT(*) > {JACCARD_MAX_DF}
+          HAVING COUNT(*) > {jac_cap}
         ),
         tok AS (
           SELECT t.doc_id, t.shingle
@@ -451,14 +464,18 @@ def _build(engine: str) -> dict:
     return q
 
 
-def spark_sql_queries() -> dict:
-    """name -> Spark SQL over the registered views (+ documents_tok)."""
-    return _build("s")
+def spark_sql_queries(**presets) -> dict:
+    """name -> Spark SQL over the registered views (+ documents_tok).
+
+    presets: n_minhash / simhash_bands / jaccard_max_df (see the knob
+    comments above) — pass the SAME values to duckdb_oracle_queries and
+    prepare_textkit_views; parity holds for any preset."""
+    return _build("s", **presets)
 
 
-def duckdb_oracle_queries() -> dict:
+def duckdb_oracle_queries(**presets) -> dict:
     """name -> DuckDB SQL with identical semantics (the correctness twin)."""
-    return _build("d")
+    return _build("d", **presets)
 
 
 _TOK_CACHE: dict = {}
@@ -644,7 +661,8 @@ def dedup_components_oracle_sql() -> str:
     """
 
 
-def prepare_textkit_views(spark: SparkSession, name: str) -> None:
+def prepare_textkit_views(spark: SparkSession, name: str,
+                          n_minhash: int = None) -> None:
     """Materialize the helper views a textkit query reads, over whatever
     ``documents`` view is currently registered (tests use synthetic ones)."""
     from t2p_spark.session import session_key
@@ -653,7 +671,8 @@ def prepare_textkit_views(spark: SparkSession, name: str) -> None:
     if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
         ensure_documents_tok(spark)
     if name == "dedup_minhash_lsh":
-        spark.sql(_minhash_select("s")).createOrReplaceTempView("sigs_mat")
+        spark.sql(_minhash_select("s", n_minhash)) \
+            .createOrReplaceTempView("sigs_mat")
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):
         # cached: the banded self-join reads this relation twice, and the
         # 60-bit vote fold is the expensive part

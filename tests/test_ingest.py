@@ -9,6 +9,9 @@ from t2p_spark.ingest import docs_from_json_dir
 from t2p_spark.pipeline import extract
 from tests.conftest import REF_JSON_DIR, load_golden
 
+DOCS_SCHEMA_STR = ("doc_id string, spans array<struct<kind:string,"
+                   "text:string,media_ref:string,offset:int>>")
+
 
 def test_ingest_json_dir_roundtrip(spark, tmp_path):
     json_dir = str(tmp_path / "responses")
@@ -129,3 +132,59 @@ def test_ingest_encoded_names_and_quarantine(spark, tmp_path):
         # media span carries the doc's own media_ref; text spans identical
         assert [g[0] for g in got] == [w[0] for w in want]
         assert got[1:] == want[1:]
+
+
+def test_split_multipage(spark):
+    """Synthetic 3-page Textract response -> 3 per-page docs whose
+    extracted spans equal the single-page conversions; a multi-PAGE
+    response containing a block without a Page field quarantines."""
+    import json
+
+    from t2p_spark.ingest import split_multipage
+
+    src = fixture_ids()[0]
+    g = golden_meta(src)
+    payload = json.load(open(f"{REF_JSON_DIR}/{src}.json", encoding="utf-8"))
+    merged = dict(payload)
+    merged["Blocks"] = []
+    for page in (1, 2, 3):
+        for b in payload["Blocks"]:
+            nb = dict(b)
+            nb["Page"] = page
+            merged["Blocks"].append(nb)
+    merged["DocumentMetadata"] = {"Pages": 3}
+
+    def doc_rows(doc_id, obj):
+        text = json.dumps(obj)
+        spans = [("media", f"{g['width']}x{g['height']}", g["media_ref"], 0),
+                 ("text", text, "", 1)]
+        return (doc_id, spans)
+
+    docs = spark.createDataFrame(
+        [doc_rows("multi", merged), doc_rows("single", payload)],
+        schema=DOCS_SCHEMA_STR)
+    split = split_multipage(docs)
+    rows = {r["doc_id"]: r for r in split.collect()}
+    assert sorted(rows) == ["multi#p1", "multi#p2", "multi#p3", "single"]
+    assert all(r["status"] == "ok" for r in rows.values())
+    # single-page doc passes through byte-identically
+    single_text = "".join(s["text"] for s in rows["single"]["spans"]
+                          if s["kind"] == "text")
+    assert single_text == json.dumps(payload)
+
+    out = {r["doc_id"]: r for r in extract(
+        split.select("doc_id", "spans"), parallelism=2).collect()}
+    want = load_golden(src)["spans"]
+    for doc_id in ("multi#p1", "multi#p2", "multi#p3", "single"):
+        assert out[doc_id]["status"] == "ok", out[doc_id]["error"]
+        assert [list(s) for s in out[doc_id]["spans"]] == want, doc_id
+
+    # pageless multi-PAGE input -> quarantined, never guessed
+    bad = dict(merged)
+    bad["Blocks"] = [dict(b) for b in merged["Blocks"]]
+    del bad["Blocks"][5]["Page"]
+    docs_bad = spark.createDataFrame(
+        [doc_rows("bad", bad)], schema=DOCS_SCHEMA_STR)
+    q = split_multipage(docs_bad).collect()
+    assert len(q) == 1 and q[0]["status"] == "quarantined"
+    assert "Page field" in q[0]["error"]

@@ -92,3 +92,29 @@ def test_cli_single_file(tmp_path):
     assert rc.returncode == 0, rc.stderr[-500:]
     assert canonical_md5(out.read_text(encoding="utf-8")) \
         == canonical_md5(ref)
+
+
+def test_render_synth_gap_fixtures_pinned():
+    """The renderer's behavior on the gap features the 8 reference
+    fixtures never exercise (KV regions, LAYOUT_TABLE claiming, merged
+    cells, selection elements, bbox-only geometry) is pinned by committed
+    canonical md5s — and each rendered XML round-trips through the flatten
+    spec to exactly the converter's span sequence, tying the renderer to
+    the independently reference-anchored converter, not to itself."""
+    import os
+
+    from t2p_spark.convert import convert_doc
+    from t2p_spark.synth import generate_doc
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_render",
+                               "render_synth_md5.json")
+    records = {r["doc_id"]: r for r in json.load(open(golden_path))}
+    assert len(records) == 8
+    for doc_id, rec in records.items():
+        seed = int(doc_id.rsplit("-", 1)[1])
+        aws, w, h, media = generate_doc(doc_id, seed)
+        xml = render_page_xml(aws, w, h, media)
+        assert canonical_md5(xml) == rec["canon_md5"], doc_id
+        spans = flatten_page_xml(xml, media_ref=media)
+        assert spans == [tuple(s) for s in convert_doc(aws, w, h, media)], \
+            doc_id

@@ -281,3 +281,34 @@ def test_multiprobe_recall_beats_single_probe(spark):
         skey = session_key(spark)
         for k in [k for k in relational._REGISTERED if k[0] == skey]:
             relational._REGISTERED.pop(k)
+
+
+def test_textkit_presets_keep_twin_parity(spark):
+    """Non-default scale preset (n_minhash=4, simhash_bands=6,
+    jaccard_max_df=8): both engine twins derive from the same arguments,
+    so oracle parity must hold at any preset — the knobs are safe to turn
+    at 100 TB without losing the correctness gate."""
+    import duckdb
+
+    from t2p_spark.relational import register_views
+    from t2p_spark.textkit import (
+        duckdb_oracle_queries, prepare_textkit_views, spark_sql_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    preset = dict(n_minhash=4, simhash_bands=6, jaccard_max_df=8)
+    sq = spark_sql_queries(**preset)
+    dq = duckdb_oracle_queries(**preset)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for name in ("minhash_signatures", "dedup_minhash_lsh",
+                 "simhash_neardup_pairs", "ngram_jaccard_pairs"):
+        prepare_textkit_views(spark, name, n_minhash=preset["n_minhash"])
+        sdf = spark.sql(sq[name])
+        got = sorted(tuple(r) for r in sdf.collect())
+        want = sorted(tuple(r) for r in con.sql(dq[name]).fetchall())
+        # float jaccard: canonicalize
+        canon = lambda rows: [tuple(round(v, 6) if isinstance(v, float)
+                                    else v for v in r) for r in rows]
+        assert canon(got) == canon(want), name
