@@ -523,6 +523,44 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.sql(spark_sql_queries()[name])
 
 
+def cc_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """ONE round of the distributed CC loop (un-checkpointed, so the plan
+    audit can pin its join shape): min-label propagation over the edge
+    list, then the pointer-jump shortcut (star-contraction) label <-
+    label(label). Every label is itself a node in the same component, so
+    jumping stays within it and only decreases; chains halve per round —
+    O(log diameter) rounds instead of O(diameter), the difference between
+    9 and 300 full-|E|-shuffle rounds on a 300-link chain at 100 TB.
+    Carries old_label through for the caller's single-action fixpoint sums.
+    """
+    import pyspark.sql.functions as F
+
+    nbr_min = (
+        edges.join(labels, edges["dst"] == labels["doc_id"])
+        .groupBy("src").agg(F.min("label").alias("nbr_label"))
+    )
+    prop = (
+        labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+        .select(
+            labels["doc_id"],
+            labels["label"].alias("old_label"),
+            F.least(
+                labels["label"], F.coalesce("nbr_label", labels["label"])
+            ).alias("label"),
+        )
+    )
+    parent = prop.select(F.col("doc_id").alias("p_id"),
+                         F.col("label").alias("p_label"))
+    return (
+        prop.join(parent, prop["label"] == parent["p_id"], "left")
+        .select(
+            prop["doc_id"],
+            prop["old_label"],
+            F.coalesce("p_label", prop["label"]).alias("label"),
+        )
+    )
+
+
 def dedup_components(spark: SparkSession, max_iters: int = 20,
                      pairs: Optional[DataFrame] = None,
                      driver_threshold: int = 100_000) -> DataFrame:
@@ -530,14 +568,17 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
     MinHash-LSH candidate pairs, each doc labeled with its component's
     minimum doc_id (the canonical representative a dedup pipeline keeps).
 
-    Spark-first iterative algorithm (GraphX-free): min-label propagation —
-    per round, every node takes min(own label, neighbors' labels); a round
-    is one shuffle-join on the edge list. Near-dup components have tiny
-    diameter, so convergence takes a handful of rounds; the fixpoint test
-    compares sum(label), which strictly decreases until convergence (labels
-    only ever decrease). At 100 TB this is the standard large-graph CC
-    loop: O(diameter) joins, each shuffling |E| rows — no driver-side
-    adjacency, no quadratic stage.
+    Spark-first iterative algorithm (GraphX-free): min-label propagation
+    with pointer-jump shortcutting — per round, every node takes min(own
+    label, neighbors' labels) (one shuffle-join on the edge list), then
+    jumps to its label's label (one self-join), the star-contraction trick
+    that collapses chains geometrically. Fixpoint test compares
+    sum(label), which strictly decreases until convergence (labels only
+    ever decrease through both steps; equal sum ⟹ the propagation step
+    changed nothing ⟹ labels are constant per component = the minima).
+    At 100 TB: O(log diameter) rounds, each shuffling |E| + |V| rows — no
+    driver-side adjacency, no quadratic stage, and a 300-link chain takes
+    ~9 rounds instead of 300.
 
     DuckDB oracle twin: WITH RECURSIVE label walk (DEDUP_COMPONENTS_ORACLE)
     — exact same fixpoint, declaratively.
@@ -594,21 +635,13 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
     prev_sum = None  # derived inside the first iteration's single action
     converged = False
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                labels["doc_id"],
-                labels["label"].alias("old_label"),
-                F.least(
-                    labels["label"], F.coalesce("nbr_label", labels["label"])
-                ).alias("label"),
-            )
-            .cache()
-        )
+        # localCheckpoint, not cache: the shortcut references the
+        # propagation result TWICE, so without truncation the logical plan
+        # doubles per round and the driver OOMs stringifying it by round
+        # ~15. On a fault-tolerant cluster run, prefer
+        # sparkContext.setCheckpointDir + .checkpoint() (localCheckpoint
+        # loses partitions on executor death).
+        new_labels = cc_round(labels, edges).localCheckpoint()
         # ONE action per round: new and previous label sums together
         sums = new_labels.agg(
             F.sum("label"), F.sum("old_label")

@@ -312,3 +312,16 @@ def test_textkit_presets_keep_twin_parity(spark):
         canon = lambda rows: [tuple(round(v, 6) if isinstance(v, float)
                                     else v for v in r) for r in rows]
         assert canon(got) == canon(want), name
+
+
+def test_dedup_components_long_chain_log_rounds(spark):
+    """A 300-link chain exceeds plain min-label propagation's round budget
+    (O(diameter) = 300 > max_iters=20); the pointer-jump shortcut collapses
+    it in O(log n) rounds, so the distributed path must converge to one
+    cluster labeled 0 well inside 20 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in textkit.dedup_components(
+               spark, pairs=pairs, driver_threshold=0).collect()}
+    assert got == {i: 0 for i in range(301)}
