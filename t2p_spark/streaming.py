@@ -159,6 +159,9 @@ def run_sessionize_stream(spark: SparkSession, events_path: str,
     )
 
 
+_STAGED: dict = {}
+
+
 def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
                                 n_chunks: int = 4):
     """Stage the events table as n_chunks chronologically-disjoint parquet
@@ -166,11 +169,18 @@ def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
     modification time) — a faithful replay of how a landing zone receives
     history, and the precondition for stream==batch equality: the stateful
     gap fold assumes batches arrive in time order, and the watermark drops
-    data arriving >2h late. Returns (dir, schema)."""
+    data arriving >2h late. Returns (dir, schema); memoized per
+    (session, sf_dir) — the staged replay of an immutable table is itself
+    immutable, and both streamed driver queries share it."""
     import tempfile
 
     from pyspark.sql import Window
 
+    from t2p_spark.session import session_key
+
+    key = (session_key(spark), sf_dir, n_chunks)
+    if key in _STAGED:
+        return _STAGED[key]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out_dir = tempfile.mkdtemp(prefix="t2p_events_stream_")
     n = ev.count()
@@ -181,7 +191,27 @@ def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
         (chunked
          .filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
          .drop("_rn").coalesce(1).write.mode("append").parquet(out_dir))
-    return out_dir, ev.schema
+    _STAGED[key] = (out_dir, ev.schema)
+    return _STAGED[key]
+
+
+class _stream_shuffle_partitions:
+    """Temporarily cap spark.sql.shuffle.partitions for a drain: each
+    stateful microbatch spins one state-store instance PER shuffle
+    partition per batch — at a bench-style 64 partitions x 4 batches the
+    fixed state-store overhead dwarfs the (tiny) data. Fresh checkpoints
+    pin their own partition count, so the cap never leaks into a resumed
+    stream; the previous session value is restored on exit."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
 _STREAM_SEQ = [0]
@@ -204,9 +234,10 @@ def sessionize_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path, schema = _stage_chronological_chunks(spark, sf_dir)
     qname = _next_qname("sess_streamed")
-    q = run_sessionize_stream(spark, path, schema,
-                              tempfile.mkdtemp(prefix="t2p_ck_"), qname)
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = run_sessionize_stream(spark, path, schema,
+                                  tempfile.mkdtemp(prefix="t2p_ck_"), qname)
+        q.awaitTermination()
     return spark.sql(f"""
         SELECT user_id,
                MAX(n_sessions) AS n_sessions,
@@ -225,9 +256,10 @@ def tumbling_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path, schema = _stage_chronological_chunks(spark, sf_dir)
     qname = _next_qname("tumbling_streamed")
-    q = run_events_stream(spark, path, schema,
-                          tempfile.mkdtemp(prefix="t2p_ck_"), qname)
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = run_events_stream(spark, path, schema,
+                              tempfile.mkdtemp(prefix="t2p_ck_"), qname)
+        q.awaitTermination()
     return spark.sql(
         f"SELECT event_type, hour_bucket, n_events, total_value "
         f"FROM {qname}"

@@ -153,6 +153,11 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=16000)
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--n", type=int, default=4)
+    # accumulate pairs across invocations (the sandbox kills long-lived
+    # processes; one ~6-min pair per invocation, summary over ALL pairs)
+    ap.add_argument("--jsonl", default=None,
+                    help="append per-pair records here and summarize over "
+                         "every pair accumulated in the file")
     args = ap.parse_args()
 
     corpus = f"/tmp/t2p_bench_corpus_{args.n_docs}_42"
@@ -169,10 +174,12 @@ def main() -> int:
     control_runs = []
     for rep in range(args.repeats):
         pair = {}
+        pair_runs = {}
         for cpus in (lo, hi):  # interleaved A/B: shared noise per pair
             r = run_once(corpus, cpus, f"r{rep}")
             results[cpus].append(r)
             pair[cpus] = r["docs_per_sec"]
+            pair_runs[cpus] = r
             print(f"local[{cpus}] rep{rep}: wall={r['wall_sec']}s "
                   f"tput={r['docs_per_sec']} docs/s", flush=True)
         pair_effs.append(round((pair[hi] / pair[lo]) / 4, 3))
@@ -181,6 +188,23 @@ def main() -> int:
         control_runs.append(ctl["pair_efficiencies"][0])
         print(f"control rep{rep}: pure-CPU eff "
               f"{ctl['pair_efficiencies'][0]}", flush=True)
+        if args.jsonl:
+            with open(args.jsonl, "a") as f:
+                f.write(json.dumps({
+                    "pair_eff": pair_effs[-1],
+                    "control_eff": control_runs[-1],
+                    "runs": pair_runs,
+                }) + "\n")
+
+    if args.jsonl:  # summarize over EVERY pair accumulated so far
+        results = {lo: [], hi: []}
+        pair_effs, control_runs = [], []
+        for line in open(args.jsonl):
+            rec = json.loads(line)
+            pair_effs.append(rec["pair_eff"])
+            control_runs.append(rec["control_eff"])
+            for cpus in (lo, hi):
+                results[cpus].append(rec["runs"][str(cpus)])
 
     med_lo = statistics.median(r["docs_per_sec"] for r in results[lo])
     med_hi = statistics.median(r["docs_per_sec"] for r in results[hi])
