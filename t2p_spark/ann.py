@@ -376,6 +376,34 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
           ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         WHERE {cos} >= {NEARDUP_TAU}
     """
+    # per-label embedding centroid (element-wise integer FLOOR-mean over
+    # FLOOR(x*1000) quantized components — the IVF parity trick, exact in
+    # both engines). Scale shape: positional explode -> partial+final agg
+    # on (label, idx) — map-side combine caps each task's shuffle
+    # contribution at labels x DIM rows; the centroid itself is the
+    # cluster-prototype every embedding pipeline materializes.
+    if engine == "s":
+        cent_explode = (f"SELECT label, posexplode({_ivf_qe('embedding', 's')})"
+                        f" AS (idx, comp) FROM embeddings")
+        cent_rebuild = ("transform(array_sort(collect_list(struct(idx, val))),"
+                        " s -> s.val)")
+    else:
+        cent_explode = (
+            f"SELECT label, unnest(range(len(qe))) AS idx, unnest(qe) AS comp"
+            f" FROM (SELECT label, {_ivf_qe('embedding', 'd')} AS qe"
+            f" FROM embeddings) qz")
+        cent_rebuild = "list(val ORDER BY idx)"
+    q["embedding_centroids"] = f"""
+        SELECT label, n_vecs, {cent_rebuild} AS centroid_q
+        FROM (
+          SELECT label, idx,
+                 CAST(FLOOR(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS val,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM ({cent_explode}) ex
+          GROUP BY label, idx
+        ) m GROUP BY label, n_vecs
+    """
     # multi-probe LSH: probe the query's own bucket PLUS the buckets
     # reached by flipping the N_FLIPS lowest-|margin| hyperplane bits —
     # the recall fix single-probe LSH needs as the bucket space grows

@@ -200,6 +200,29 @@ RELATIONAL_SQL = {
           date_trunc('hour', CAST(ts AS TIMESTAMP))
         )
     """,
+    # exact discrete quantiles via rank arithmetic (shared ANSI — engine
+    # quantile functions interpolate differently and can't be twin-checked;
+    # picking the value AT rank ceil(q*n) is exact and deterministic with
+    # the (value, event_id) tie-break). Scale note: this is the exact path
+    # (one global sort); at 100 TB use percentile_approx per-partition ->
+    # merged sketch, which trades twin-checkability for a single pass.
+    "events_value_quantiles": """
+        WITH ranked AS (
+          SELECT value,
+                 ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM events
+        )
+        SELECT q, CAST(value AS DOUBLE) AS value
+        FROM (
+          SELECT CAST(0.5 AS DOUBLE) AS q, value, rn, n FROM ranked
+          UNION ALL
+          SELECT CAST(0.9 AS DOUBLE) AS q, value, rn, n FROM ranked
+          UNION ALL
+          SELECT CAST(0.99 AS DOUBLE) AS q, value, rn, n FROM ranked
+        ) u
+        WHERE rn = CAST(CEIL(q * n) AS BIGINT)
+    """,
     # scalar/extract functions + conditional agg over the JSON props column.
     "events_props_stats": """
         SELECT

@@ -461,6 +461,64 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         SELECT doc_id, {fold} AS fingerprint
         FROM {tok_src} th
     """
+
+    # --- training-data curation composites (round 3) -----------------------
+
+    # Gopher/C4-style quality filter: per-doc keep/drop verdict with the
+    # dropping rule named (a pipeline keeps the reasons for audit). All
+    # features are exact integers (FLOOR-scaled ratios), so the twins are
+    # bit-identical; thresholds are corpus-relative so the verdict mix is
+    # non-trivial at oracle scale. Scale shape: one narrow pass, no joins.
+    q["corpus_filter"] = f"""
+        SELECT doc_id, verdict, CAST(n_tok AS BIGINT) AS n_tokens
+        FROM (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok < 12 THEN 'too_few_tokens'
+                      WHEN mean_len_x100 < 400 THEN 'short_words'
+                      WHEN mean_len_x100 > 470 THEN 'long_words'
+                      WHEN sym_x1e6 > 60000 THEN 'symbol_heavy'
+                      WHEN stop_cnt = 0 THEN 'no_stopwords'
+                      ELSE 'keep' END AS verdict
+          FROM (
+            SELECT doc_id,
+                   {_asize("toks", e)} AS n_tok,
+                   CASE WHEN {_asize("toks", e)} = 0 THEN 0
+                        ELSE CAST(FLOOR({sum_len} * 100.0
+                             / {_asize("toks", e)}) AS BIGINT) END
+                     AS mean_len_x100,
+                   CAST(FLOOR({punct} * 1000000.0
+                        / (n_chars + 1)) AS BIGINT) AS sym_x1e6,
+                   {stop_cnt} AS stop_cnt
+            FROM {tok_src} tk
+          ) feats
+        ) v
+    """
+
+    # deterministic stratified train/test split: md5-bucket of doc_id
+    # (hash-stable across engines/runs/cluster sizes — the property a
+    # training split needs; random() would be neither twin-checkable nor
+    # reproducible). Narrow projection, zero shuffle.
+    docid_str = ("CAST(doc_id AS STRING)" if e == "s"
+                 else "CAST(doc_id AS VARCHAR)")
+    split_expr = (f"CASE WHEN {_hash60(docid_str, e)} % 100 < 80 "
+                  f"THEN 'train' ELSE 'test' END")
+    q["sample_split"] = f"""
+        SELECT doc_id, {split_expr} AS split FROM documents
+    """
+
+    # cross-split near-dup leakage: MinHash-LSH candidate pairs whose ends
+    # land in different splits — the contamination check every training
+    # pipeline runs before eval. Composes the LSH pairs (bucketed
+    # equi-join) with the split projection: two cheap hash joins on doc_id.
+    q["split_leakage"] = f"""
+        WITH pairs AS ({q['dedup_minhash_lsh']}),
+        splits AS (SELECT doc_id, {split_expr} AS split FROM documents)
+        SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split
+    """
     return q
 
 
@@ -703,7 +761,7 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     skey = session_key(spark)
     if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
         ensure_documents_tok(spark)
-    if name == "dedup_minhash_lsh":
+    if name in ("dedup_minhash_lsh", "split_leakage"):
         spark.sql(_minhash_select("s", n_minhash)) \
             .createOrReplaceTempView("sigs_mat")
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):

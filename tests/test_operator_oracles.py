@@ -51,6 +51,9 @@ QUERIES = [
     "token_stats_bpe", "events_asof_order", "events_value_bands",
     "events_hypertable_rollup", "distinct_users_kmv", "q4_order_priority",
     "q13_customer_distribution", "q16_parts_supplier_breadth",
+    "ann_topk_multiprobe", "events_sessionize_streamed",
+    "events_tumbling_streamed", "corpus_filter", "sample_split",
+    "split_leakage", "events_value_quantiles", "embedding_centroids",
 ]
 
 
