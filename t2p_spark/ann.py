@@ -376,6 +376,44 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
           ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         WHERE {cos} >= {NEARDUP_TAU}
     """
+    # multi-table LSH: L independent hyperplane tables (re-seeded planes);
+    # candidates = UNION of per-table same-bucket equi-joins — the other
+    # standard recall mechanism besides multi-probe (independent tables
+    # de-correlate the misses; probe cost is L bucket joins, never an
+    # OR-join nested loop). Each table's join keeps the bucketed shape.
+    planes2 = make_planes(len(planes), seed=20240717)
+    b1 = _bucket_expr("embedding", engine, planes)
+    b2 = _bucket_expr("embedding", engine, planes2)
+    vecs2 = (f"SELECT vec_id, label, embedding, {b1} AS bkt_a, "
+             f"{b2} AS bkt_b, {_norm('embedding', engine)} AS norm "
+             f"FROM embeddings")
+    table_arms = " UNION ".join(
+        f"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM vecs q JOIN vecs c
+              ON q.{b} = c.{b} AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}"""
+        for b in ("bkt_a", "bkt_b"))
+    q["ann_topk_multitable"] = f"""
+        WITH vecs AS ({vecs2}),
+        cands AS ({table_arms}),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM cands cd
+          JOIN vecs q ON q.vec_id = cd.query_id
+          JOIN vecs c ON c.vec_id = cd.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
     # per-label embedding centroid (element-wise integer FLOOR-mean over
     # FLOOR(x*1000) quantized components — the IVF parity trick, exact in
     # both engines). Scale shape: positional explode -> partial+final agg

@@ -506,6 +506,42 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         SELECT doc_id, {split_expr} AS split FROM documents
     """
 
+    # TF-IDF top terms per document — the classic corpus-weighting
+    # operator (keyword extraction / near-dup explanations / retrieval
+    # features). Scale shape: explode -> two partial-agg shuffles (tf on
+    # (doc, tok), df on tok) -> broadcast-size df join -> per-doc window
+    # top-k (WindowGroupLimit bounds it map-side). Parity: rank on the
+    # ROUNDED score (LN may differ in the last ulp between libm and the
+    # JVM), ties broken on the term.
+    tok_explode = (f"SELECT doc_id, explode(toks) AS tok FROM {tok_src}"
+                   if e == "s" else
+                   f"SELECT doc_id, unnest(toks) AS tok FROM {tok_src} tu")
+    q["tfidf_top_terms"] = f"""
+        WITH tok AS ({tok_explode}),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok
+        ),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf * LN(n.n_docs / df.df), 6) AS tfidf
+          FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                 ) AS rnk
+          FROM scored
+        ) r WHERE rnk <= 3
+    """
+
     # cross-split near-dup leakage: MinHash-LSH candidate pairs whose ends
     # land in different splits — the contamination check every training
     # pipeline runs before eval. Composes the LSH pairs (bucketed

@@ -274,8 +274,11 @@ def test_multiprobe_recall_beats_single_probe(spark):
 
         r_single = recall(topk("ann_topk_lsh"))
         r_multi = recall(topk("ann_topk_multiprobe"))
+        r_tables = recall(topk("ann_topk_multitable"))
         assert r_multi > r_single, (r_single, r_multi)
         assert r_multi >= 0.5, (r_single, r_multi)
+        # the second independent table must also recover misses
+        assert r_tables > r_single, (r_single, r_tables)
     finally:
         spark.catalog.dropTempView("embeddings")
         skey = session_key(spark)
