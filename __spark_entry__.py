@@ -257,10 +257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # applyInPandasWithState sessionization / watermarked tumbling stream
     # over chronological chunk files; oracle = the batch SQL
     from t2p_spark.streaming import (
-        sessionize_streamed_result, tumbling_streamed_result,
+        dedup_streamed_result, sessionize_streamed_result,
+        tumbling_streamed_result,
     )
     out["events_sessionize_streamed"] = sessionize_streamed_result
     out["events_tumbling_streamed"] = tumbling_streamed_result
+    # exactly-once ingestion: stateful dropDuplicates suppresses the
+    # redelivered ~5% sample injected into the replay
+    out["events_stream_dedup"] = dedup_streamed_result
     return out
 
 
@@ -294,4 +298,10 @@ def oracle_sql() -> dict[str, str]:
     # drained streams == the batch SQL (shared ANSI text, verbatim)
     out["events_sessionize_streamed"] = RELATIONAL_SQL["events_sessionize"]
     out["events_tumbling_streamed"] = RELATIONAL_SQL["events_tumbling_hour"]
+    # drained dedup stream == the original events table (no dup survives,
+    # no real event lost)
+    out["events_stream_dedup"] = """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """
     return out

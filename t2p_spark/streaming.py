@@ -266,6 +266,57 @@ def tumbling_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicate suppression — the exactly-once ingestion shape:
+    a landing zone redelivers events (at-least-once feeds always do), the
+    stream drops redeliveries with stateful ``dropDuplicates`` on the
+    event key, and the durable output contains each event once.
+
+    The replay is the staged chronological chunks PLUS a final chunk that
+    redelivers a deterministic ~5% sample of earlier events (md5-bucket
+    of event_id — twin-checkable, no random()), so the duplicates
+    genuinely cross microbatch boundaries and exercise the dedup state
+    store. Oracle: the batch per-type counts over the original events
+    table — hash equality means every redelivery was suppressed and
+    nothing real was lost. At scale: state is one key per event in the
+    retention window; production feeds bound it with
+    ``dropDuplicatesWithinWatermark``."""
+    import glob
+    import shutil
+    import tempfile
+
+    path, schema = _stage_chronological_chunks(spark, sf_dir)
+    dup_dir = tempfile.mkdtemp(prefix="t2p_events_dup_")
+    for f in glob.glob(f"{path}/*.parquet"):
+        shutil.copy(f, dup_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (ev.where("CAST(CONV(SUBSTRING(md5(CAST(event_id AS STRING)), 1, 8), "
+              "16, 10) AS BIGINT) % 100 < 5")
+     .coalesce(1).write.mode("append").parquet(dup_dir))
+
+    qname = _next_qname("dedup_streamed")
+    with _stream_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(dup_dir)
+        )
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory").queryName(qname)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="t2p_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM {qname} GROUP BY event_type
+    """)
+
+
 def events_tumbling_stream(events_stream: DataFrame) -> DataFrame:
     """Watermarked 1h tumbling windows per event_type (late data > 2h dropped)."""
     return (

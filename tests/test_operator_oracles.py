@@ -54,7 +54,7 @@ QUERIES = [
     "ann_topk_multiprobe", "events_sessionize_streamed",
     "events_tumbling_streamed", "corpus_filter", "sample_split",
     "split_leakage", "events_value_quantiles", "embedding_centroids",
-    "tfidf_top_terms", "ann_topk_multitable",
+    "tfidf_top_terms", "ann_topk_multitable", "events_stream_dedup",
 ]
 
 
