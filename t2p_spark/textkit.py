@@ -542,6 +542,56 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         ) r WHERE rnk <= 3
     """
 
+    # BM25 retrieval: rank documents against a fixed query-term set — the
+    # standard lexical-search scorer (k1=1.2, b=0.75). Scale shape: the
+    # tiny query-term relation prunes the exploded token stream BEFORE any
+    # aggregation (semi-join on the term), so tf/df are computed only for
+    # query terms; one window for the final top-k. Parity: inputs are
+    # exact integers, the score is assembled once in double and ROUNDed,
+    # ranking on the rounded value with doc_id tie-break.
+    qterms = "('the','press','with','from','local','report')"
+    q["bm25_search"] = f"""
+        WITH tok AS ({tok_explode}),
+        qtok AS (
+          SELECT doc_id, tok FROM tok WHERE tok IN {qterms}
+        ),
+        dl AS (
+          SELECT doc_id, CAST({_asize('toks', e)} AS BIGINT) AS dl
+          FROM {tok_src} tb
+        ),
+        n AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM qtok GROUP BY doc_id, tok
+        ),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 ROUND(SUM(
+                   LN(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+                 ), 6) AS bm25
+          FROM tf
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN n
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT doc_id, bm25,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM scored
+        ) r WHERE rnk <= 20
+    """
+
     # cross-split near-dup leakage: MinHash-LSH candidate pairs whose ends
     # land in different splits — the contamination check every training
     # pipeline runs before eval. Composes the LSH pairs (bucketed
