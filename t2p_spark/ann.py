@@ -180,17 +180,19 @@ def _ivf_assign_maponly(vecs: str, cent_lit: str) -> str:
     """
 
 
-def _ivf_probes_maponly(vecs: str, cent_lit: str) -> str:
+def _ivf_probes_maponly(vecs: str, cent_lit: str,
+                        probe: int = None) -> str:
     """Map-only probe-list selection for the query vectors: sort the
-    per-centroid (dist, cid) structs, keep the first IVF_PROBE — same
-    result as the windowed rn <= IVF_PROBE, no exchange."""
+    per-centroid (dist, cid) structs, keep the first `probe` — same
+    result as the windowed rn <= probe, no exchange."""
+    ivf_probe = IVF_PROBE if probe is None else probe
     return f"""
         SELECT vec_id AS query_id, p.cid AS cid
         FROM (
           SELECT vec_id,
                  slice(array_sort(transform({cent_lit},
                    c -> struct({_ivf_dist('qe', 'c.qe', 's')} AS d,
-                               c.cid AS cid))), 1, {IVF_PROBE}) AS probe_arr
+                               c.cid AS cid))), 1, {ivf_probe}) AS probe_arr
           FROM {vecs} WHERE vec_id < {N_QUERIES}
         ) q LATERAL VIEW explode(probe_arr) t AS p
     """
@@ -241,9 +243,19 @@ def _ivf_update(assign: str, prev: str, e: str) -> str:
     """
 
 
-def ivf_sql(e: str) -> str:
+def ivf_sql(e: str, k: int = None, probe: int = None,
+            iters: int = None) -> str:
     """ann_topk_ivf: unrolled-Lloyd IVF index + probe, one SQL text per
-    engine with identical integer semantics."""
+    engine with identical integer semantics.
+
+    Scale presets (mirror make_planes / the textkit knobs; pass the SAME
+    values to run_ivf_spark — parity holds for any preset): oracle corpus
+    K=16/probe=4; 10^9 vecs target K~4096 (sqrt(N)-ish inverted lists)
+    with probe 32-64 for recall, iters 2-5 (assignment is map-only, so
+    extra Lloyd passes cost one corpus scan each, never a shuffle)."""
+    ivf_k = IVF_K if k is None else k
+    ivf_probe = IVF_PROBE if probe is None else probe
+    ivf_iters = IVF_ITERS if iters is None else iters
     cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', e)} "
            f"/ (q.norm * c.norm), 6)")
     ctes = [
@@ -251,10 +263,10 @@ def ivf_sql(e: str) -> str:
         f" {_norm('embedding', e)} AS norm FROM embeddings)",
         # deterministic init: the first K corpus (non-query) vectors
         f"c0 AS (SELECT vec_id - {N_QUERIES} AS cid, qe FROM vecs "
-        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K})",
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + ivf_k})",
     ]
     prev = "c0"
-    for it in range(1, IVF_ITERS + 1):
+    for it in range(1, ivf_iters + 1):
         ctes.append(f"a{it} AS ({_ivf_assign('vecs', prev, e)})")
         ctes.append(f"c{it} AS ({_ivf_update(f'a{it}', prev, e)})")
         prev = f"c{it}"
@@ -270,7 +282,7 @@ def ivf_sql(e: str) -> str:
                    ) AS rn
             FROM vecs v CROSS JOIN {prev} c
             WHERE v.vec_id < {N_QUERIES}
-          ) t WHERE rn <= {IVF_PROBE}
+          ) t WHERE rn <= {ivf_probe}
         )""")
     return f"""
         WITH {', '.join(ctes)},
@@ -507,7 +519,8 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
 _IVF_CACHE: dict = {}
 
 
-def run_ivf_spark(spark: SparkSession) -> DataFrame:
+def run_ivf_spark(spark: SparkSession, k: int = None, probe: int = None,
+                  iters: int = None) -> DataFrame:
     """Spark execution of ann_topk_ivf, staged like a real k-means job.
 
     The one-shot SQL form (ivf_sql, kept verbatim for the DuckDB twin)
@@ -527,6 +540,8 @@ def run_ivf_spark(spark: SparkSession) -> DataFrame:
     """
     from t2p_spark.session import session_key
 
+    ivf_k = IVF_K if k is None else k
+    ivf_iters = IVF_ITERS if iters is None else iters
     key = session_key(spark)
     old = _IVF_CACHE.pop(key, None)
     if old is not None:
@@ -543,10 +558,10 @@ def run_ivf_spark(spark: SparkSession) -> DataFrame:
         {"cid": r["cid"], "qe": list(r["qe"])}
         for r in spark.sql(
             f"SELECT vec_id - {N_QUERIES} AS cid, qe FROM ivf_vecs "
-            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}"
+            f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + ivf_k}"
         ).collect()
     ]
-    for _it in range(IVF_ITERS):
+    for _it in range(ivf_iters):
         spark.sql(_ivf_assign_maponly("ivf_vecs", _cent_literal(cents))) \
             .createOrReplaceTempView("ivf_a")
         means = {r["cid"]: list(r["qe"])
@@ -561,7 +576,7 @@ def run_ivf_spark(spark: SparkSession) -> DataFrame:
     cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', 's')} "
            f"/ (q.norm * c.norm), 6)")
     return spark.sql(f"""
-        WITH probes AS ({_ivf_probes_maponly('ivf_vecs', cent_lit)}),
+        WITH probes AS ({_ivf_probes_maponly('ivf_vecs', cent_lit, probe)}),
         cands AS (
           SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
           FROM probes p JOIN ivf_af a ON a.cid = p.cid

@@ -328,3 +328,27 @@ def test_dedup_components_long_chain_log_rounds(spark):
            for r in textkit.dedup_components(
                spark, pairs=pairs, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(301)}
+
+
+def test_ivf_preset_keeps_twin_parity(spark):
+    """Non-default IVF preset (K=8, probe=2, iters=1): the Spark staged
+    path and the one-shot DuckDB CTE twin derive from the same arguments,
+    so the integer-exact parity holds at any preset — the nprobe/K knobs
+    are safe to turn at scale without losing the correctness gate."""
+    import duckdb
+
+    from t2p_spark.ann import ivf_sql, run_ivf_spark
+    from t2p_spark.relational import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = sorted(tuple(r) for r in
+                 run_ivf_spark(spark, k=8, probe=2, iters=1).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(ivf_sql("d", k=8, probe=2, iters=1)).fetchall())
+    canon = lambda rows: [tuple(round(v, 6) if isinstance(v, float) else v
+                                for v in r) for r in rows]
+    assert canon(got) == canon(want)
+    assert got, "preset run must return neighbors"
