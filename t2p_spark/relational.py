@@ -200,6 +200,40 @@ RELATIONAL_SQL = {
           date_trunc('hour', CAST(ts AS TIMESTAMP))
         )
     """,
+    # sequential-stage funnel: users who viewed, then clicked AFTER their
+    # first view, then purchased AFTER that first click — the ordering
+    # constraint is what distinguishes a funnel from three COUNT
+    # DISTINCTs. Shared ANSI; each stage is a pushed event_type filter +
+    # agg on user_id, chained by equi-joins on user_id (no window over
+    # the full event stream needed).
+    "events_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND CAST(e.ts AS TIMESTAMP) > v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT 'stage1_viewed' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'stage2_clicked_after_view' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+        UNION ALL
+        SELECT 'stage3_purchased_after_click' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
     # exact discrete quantiles via rank arithmetic (shared ANSI — engine
     # quantile functions interpolate differently and can't be twin-checked;
     # picking the value AT rank ceil(q*n) is exact and deterministic with

@@ -176,3 +176,26 @@ def test_typeless_relationship_crash_parity():
             break
     status, spans, error = convert_doc_safe(doc, 2135, 3240, "m.jpg")
     assert status == "quarantined" and "KeyError" in error
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc=doc_like)
+def test_split_doc_never_raises(doc):
+    """The multi-page splitter obeys the same quarantine contract as the
+    converter: for ARBITRARY JSON-shaped payloads it returns page rows or
+    a quarantine row, never an exception (an escape would kill a Spark
+    task at corpus scale)."""
+    import json
+
+    from t2p_spark.ingest import _split_doc
+
+    rows = _split_doc("d", 100, 100, "m.jpg", json.dumps(doc), 1 << 20)
+    assert rows, "must emit at least one row"
+    for doc_id, spans, status, error in rows:
+        assert status in ("ok", "quarantined")
+        if status == "ok":
+            assert spans[0][0] == "media"
+            assert all(isinstance(s[1], str) for s in spans)
+        else:
+            assert spans == [] and error
