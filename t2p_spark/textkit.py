@@ -605,6 +605,85 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         JOIN splits sb ON sb.doc_id = p.doc_b
         WHERE sa.split <> sb.split
     """
+
+    # Gopher-style repetition signals: top-token fraction + duplicate-2gram
+    # fraction, with the filter verdict a curation pipeline would act on.
+    # All ratios are FLOOR-scaled exact integers (twin-identical). Scale
+    # shape: explode -> partial-agg groupBy (doc_id, tok) -> groupBy doc_id
+    # (one shuffle chain, map-side combine), then a co-partitioned join on
+    # doc_id with the narrow 2-gram projection — no self-joins, no windows.
+    sh2 = _shingles("toks", 2, e)
+    q["repetition_stats"] = f"""
+        WITH tok AS ({tok_explode}),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, tok
+        ),
+        top AS (
+          SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt,
+                 CAST(SUM(c) AS BIGINT) AS n_tok
+          FROM tf GROUP BY doc_id
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CAST({_asize('g2', e)} AS BIGINT) AS n2,
+                 CAST({_asize(_adistinct('g2', e), e)} AS BIGINT) AS d2
+          FROM (SELECT doc_id, {sh2} AS g2 FROM {tok_src} rg) s
+        )
+        SELECT t.doc_id,
+               t.n_tok AS n_tokens,
+               t.top_cnt AS top_token_count,
+               CAST(FLOOR(t.top_cnt * 1000000.0 / t.n_tok) AS BIGINT)
+                 AS top_token_frac_x1e6,
+               CASE WHEN g.n2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR((g.n2 - g.d2) * 1000000.0 / g.n2)
+                              AS BIGINT) END AS dup_2gram_frac_x1e6,
+               CASE WHEN t.top_cnt * 5 >= t.n_tok THEN 'repetitive_token'
+                    WHEN g.n2 > 0 AND (g.n2 - g.d2) * 2 >= g.n2
+                      THEN 'repetitive_2gram'
+                    ELSE 'ok' END AS verdict
+        FROM top t JOIN grams g ON g.doc_id = t.doc_id
+    """
+
+    # Benchmark-contamination check: fraction of a doc's distinct 3-gram
+    # shingles that also occur in a held-out "benchmark" slice (here the
+    # deterministic doc_id % 50 = 0 slice — a benchmark is external in
+    # production, but the operator shape is identical). Scale shape: the
+    # benchmark shingle set is tiny relative to the corpus, so Spark
+    # broadcasts it and the overlap count is a map-side semi-lookup over
+    # the exploded candidate stream — the corpus is never self-joined.
+    sh3 = _adistinct(_shingles("toks", 3, e), e)
+    csh_body = f"SELECT doc_id, {sh3} AS sh FROM {tok_src} ct"
+    if e == "s":
+        c_explode = f"SELECT doc_id, explode(sh) AS shingle FROM ({csh_body}) cx"
+        bcast = "/*+ BROADCAST(b) */ "
+    else:
+        c_explode = f"SELECT doc_id, unnest(sh) AS shingle FROM ({csh_body}) cx"
+        bcast = ""
+    q["contamination_check"] = f"""
+        WITH csh AS ({c_explode}),
+        bench AS (
+          SELECT DISTINCT shingle FROM csh WHERE doc_id % 50 = 0
+        ),
+        cand AS (
+          SELECT doc_id, shingle FROM csh WHERE doc_id % 50 <> 0
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM cand GROUP BY doc_id
+        ),
+        hits AS (
+          SELECT {bcast}c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM cand c JOIN bench b ON b.shingle = c.shingle
+          GROUP BY c.doc_id
+        )
+        SELECT h.doc_id, h.n_overlap, s.n_shingles,
+               CAST(FLOOR(h.n_overlap * 1000000.0 / s.n_shingles) AS BIGINT)
+                 AS overlap_x1e6,
+               CASE WHEN h.n_overlap * 5 >= s.n_shingles
+                    THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """
     return q
 
 

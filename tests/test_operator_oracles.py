@@ -55,7 +55,8 @@ QUERIES = [
     "events_tumbling_streamed", "corpus_filter", "sample_split",
     "split_leakage", "events_value_quantiles", "embedding_centroids",
     "tfidf_top_terms", "ann_topk_multitable", "events_stream_dedup",
-    "bm25_search", "events_funnel",
+    "bm25_search", "events_funnel", "repetition_stats",
+    "contamination_check",
 ]
 
 

@@ -352,3 +352,39 @@ def test_ivf_preset_keeps_twin_parity(spark):
                                 for v in r) for r in rows]
     assert canon(got) == canon(want)
     assert got, "preset run must return neighbors"
+
+
+def test_repetition_and_contamination_semantics(spark):
+    """Planted-pattern semantics for the round-3 curation twins:
+    - a one-token spam doc -> 'repetitive_token';
+    - a cycling 10-token doc (every token rare, 2-grams repeating)
+      -> 'repetitive_2gram';
+    - a diverse doc -> 'ok';
+    - a verbatim copy of a benchmark-slice doc (doc_id % 50 == 0)
+      -> 'contaminated' at overlap 100%;
+    - a disjoint-vocabulary doc never reaches the overlap join output."""
+    cycle = " ".join(f"tk{i}" for i in range(10))
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, "s", 0, bench_text),                       # benchmark slice
+        (1, "s", 0, "spam " * 30),                     # repetitive_token
+        (2, "s", 0, (cycle + " ") * 3),                # repetitive_2gram
+        (3, "s", 0, " ".join(f"w{i}" for i in range(40))),  # ok
+        (51, "s", 0, bench_text),                      # verbatim copy
+        (52, "s", 0, "zulu yankee xray whiskey victor uniform tango"),
+    ]
+    try:
+        _swap_documents_view(spark, rows)
+        rep = {r["doc_id"]: r["verdict"] for r in spark.sql(
+            textkit.spark_sql_queries()["repetition_stats"]).collect()}
+        assert rep[1] == "repetitive_token"
+        assert rep[2] == "repetitive_2gram"
+        assert rep[3] == "ok"
+        cont = {r["doc_id"]: r for r in spark.sql(
+            textkit.spark_sql_queries()["contamination_check"]).collect()}
+        assert cont[51]["verdict"] == "contaminated"
+        assert cont[51]["overlap_x1e6"] == 1_000_000
+        assert cont[51]["n_overlap"] == cont[51]["n_shingles"]
+        assert 52 not in cont
+    finally:
+        _restore_views(spark)

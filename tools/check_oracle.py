@@ -77,7 +77,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in queries.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         try:
             sdf = fn(spark, args.sf)
