@@ -257,14 +257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # applyInPandasWithState sessionization / watermarked tumbling stream
     # over chronological chunk files; oracle = the batch SQL
     from t2p_spark.streaming import (
-        dedup_streamed_result, sessionize_streamed_result,
-        tumbling_streamed_result,
+        dedup_streamed_result, neardup_screen_streamed_result,
+        sessionize_streamed_result, tumbling_streamed_result,
     )
     out["events_sessionize_streamed"] = sessionize_streamed_result
     out["events_tumbling_streamed"] = tumbling_streamed_result
     # exactly-once ingestion: stateful dropDuplicates suppresses the
     # redelivered ~5% sample injected into the replay
     out["events_stream_dedup"] = dedup_streamed_result
+    # incremental near-dup screening: streamed new docs vs the static
+    # corpus band index (stream-static join + stateful pair dedup)
+    out["stream_neardup_screen"] = neardup_screen_streamed_result
     return out
 
 
@@ -304,4 +307,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     """
+    from t2p_spark.streaming import neardup_screen_oracle_sql
+
+    out["stream_neardup_screen"] = neardup_screen_oracle_sql()
     return out

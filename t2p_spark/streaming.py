@@ -353,3 +353,128 @@ def run_events_stream(spark: SparkSession, events_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+def _stage_document_chunks(spark: SparkSession, sf_dir: str,
+                           n_chunks: int = 3):
+    """Stage the 'incoming' documents slice (doc_id % 4 == 0) as n_chunks
+    parquet files written in doc_id order — the landing-zone replay for
+    the stream-static near-dup screen. Memoized per (session, sf_dir),
+    like the events staging."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from t2p_spark.session import session_key
+
+    key = (session_key(spark), sf_dir, "docs", n_chunks)
+    if key in _STAGED:
+        return _STAGED[key]
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 4 = 0"))
+    out_dir = tempfile.mkdtemp(prefix="t2p_docs_stream_")
+    n = docs.count()
+    per = (n + n_chunks - 1) // n_chunks
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    chunked = docs.withColumn("_rn", rn)
+    for i in range(n_chunks):
+        (chunked
+         .filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
+         .drop("_rn").coalesce(1).write.mode("append").parquet(out_dir))
+    _STAGED[key] = (out_dir, docs.schema)
+    return _STAGED[key]
+
+
+def _band_key_array(col_fmt: str, n_minhash: int) -> str:
+    """array(concat(sig0,sig1), concat(sig2,sig3), ...) with each signature
+    slot rendered through col_fmt (index -> SQL expression)."""
+    return ("array(" + ", ".join(
+        f"concat({col_fmt.format(2 * i)}, {col_fmt.format(2 * i + 1)})"
+        for i in range(n_minhash // 2)) + ")")
+
+
+def neardup_screen_streamed_result(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the ingestion-time shape of
+    MinHash-LSH dedup: new documents arrive as a stream and are screened
+    against the *existing* corpus's signature index before admission.
+
+    Spark-first composition:
+      - static side: the band index of the existing corpus (doc_id % 4
+        <> 0) — the batch _minhash_select over the cached documents_tok,
+        band-exploded and cached once; every microbatch reuses it (at
+        scale: a broadcast- or bucket-joined index table maintained by
+        the batch dedup job);
+      - stream side: signatures computed IN the stream projection via
+        minhash_sig_inline (HOF let-binding, no Python, no cache needed),
+        band-exploded, stream-static equi-join on (band, key) — stateless,
+        so each microbatch is one hash join against the index;
+      - stateful ``dropDuplicates`` on the (new, corpus) pair emits each
+        screening hit exactly once even when several bands collide or a
+        redelivered file repeats a document.
+
+    Oracle: the batch DuckDB twin joining new-slice signatures against
+    corpus-slice signatures on any shared band (neardup_screen_oracle_sql).
+    """
+    import tempfile
+
+    from t2p_spark.relational import register_views
+    from t2p_spark.textkit import (
+        N_MINHASH, _minhash_select, ensure_documents_tok, minhash_sig_inline,
+    )
+
+    register_views(spark, sf_dir)
+    ensure_documents_tok(spark)
+    path, schema = _stage_document_chunks(spark, sf_dir)
+    band_static = _band_key_array("sig_{}", N_MINHASH)
+    index = (
+        spark.sql(_minhash_select("s"))
+        .where("doc_id % 4 <> 0")
+        .selectExpr("doc_id AS corpus_doc_id",
+                    f"posexplode({band_static}) AS (band, key)")
+        .cache()
+    )
+    band_stream = _band_key_array("sigs[{}]", N_MINHASH)
+    qname = _next_qname("neardup_streamed")
+    try:
+        with _stream_shuffle_partitions(spark):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(path))
+            s_bands = (
+                stream
+                .selectExpr("doc_id", f"{minhash_sig_inline()} AS sigs")
+                .selectExpr("doc_id AS new_doc_id",
+                            f"posexplode({band_stream}) AS (band, key)")
+            )
+            pairs = (s_bands.join(index, ["band", "key"])
+                     .select("new_doc_id", "corpus_doc_id")
+                     .dropDuplicates(["new_doc_id", "corpus_doc_id"]))
+            q = (pairs.writeStream.outputMode("append")
+                 .format("memory").queryName(qname)
+                 .option("checkpointLocation",
+                         tempfile.mkdtemp(prefix="t2p_ck_"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+    finally:
+        index.unpersist()
+    # no final DISTINCT: if the stream ever emitted a pair twice, the
+    # oracle hash-compare must see it
+    return spark.sql(
+        f"SELECT new_doc_id, corpus_doc_id FROM {qname}")
+
+
+def neardup_screen_oracle_sql() -> str:
+    """DuckDB twin of the streamed screen: new-slice x corpus-slice
+    signature join on any shared 2-signature band."""
+    from t2p_spark.textkit import N_MINHASH, _minhash_select
+
+    or_arms = "\n           OR ".join(
+        f"(n.sig_{2*i} = c.sig_{2*i} AND n.sig_{2*i+1} = c.sig_{2*i+1})"
+        for i in range(N_MINHASH // 2))
+    return f"""
+        WITH sigs AS ({_minhash_select("d")})
+        SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+        FROM sigs n JOIN sigs c
+          ON n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+        WHERE {or_arms}
+    """

@@ -134,6 +134,27 @@ def _minhash_select(engine: str, n_minhash: int = None) -> str:
     """
 
 
+def minhash_sig_inline(n_minhash: int = None) -> str:
+    """Spark SQL expression: the N_MINHASH signature array computed directly
+    from a raw ``text`` column in ONE projection — for streaming inputs,
+    which cannot read the cached ``documents_tok`` view (no cache on a
+    stream). Nested HOF let-bindings — ``transform(array(x), v -> ...)[1]``
+    binds a subexpression to a lambda variable evaluated once per row — so
+    the regex tokenization and the shingle build each run once, not once
+    per element access (the CollapseProject inlining blowup the batch path
+    avoids by materializing documents_tok). Semantics are identical to
+    _minhash_select's per-signature expressions."""
+    n = N_MINHASH if n_minhash is None else n_minhash
+    toks = _tokens("text", "s")
+    sh_t = _shingles("t", 3, "s")
+    sigs = ", ".join(
+        _amin(_xform("sh", f"x -> md5(concat('{j}:', x))", "s"), "s")
+        for j in range(n))
+    return (f"element_at(transform(array({toks}), "
+            f"t -> element_at(transform(array({sh_t}), "
+            f"sh -> array({sigs})), 1)), 1)")
+
+
 def _simhash_expr(hashes: str, engine: str) -> str:
     """60-bit simhash of the token-hash array.
 

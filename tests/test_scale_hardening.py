@@ -388,3 +388,24 @@ def test_repetition_and_contamination_semantics(spark):
         assert 52 not in cont
     finally:
         _restore_views(spark)
+
+
+def test_minhash_inline_sigs_equal_batch_path(spark):
+    """The streaming-side let-binding signature expression
+    (minhash_sig_inline over raw text) must produce exactly the batch
+    path's signatures (_minhash_select over the cached documents_tok) —
+    otherwise the stream-static screen and the batch LSH index would
+    silently disagree on bucket membership."""
+    from t2p_spark.relational import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    textkit.ensure_documents_tok(spark)
+    batch = {r["doc_id"]: tuple(r[f"sig_{j}"] for j in range(textkit.N_MINHASH))
+             for r in spark.sql(textkit._minhash_select("s")).collect()}
+    inline = {r["doc_id"]: tuple(r["sigs"])
+              for r in spark.sql(
+                  f"SELECT doc_id, {textkit.minhash_sig_inline()} AS sigs "
+                  "FROM documents WHERE size(split(text, ' ')) >= 3"
+              ).collect() if r["sigs"][0] is not None}
+    assert batch == {k: v for k, v in inline.items() if k in batch}
+    assert len(batch) > 0 and set(batch) <= set(inline)
