@@ -82,6 +82,34 @@ def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return out.select("doc_id", "status", "n_blocks", "n_spans").orderBy("doc_id")
 
 
+def quarantine_reasons(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Quarantine observability: per-reason-class breakdown of the synthetic
+    corpus extraction — the monitoring surface a 100-TB run watches (which
+    crash-parity path fires, at what rate). Reason = the normalized error
+    class (text before ':'), the twin-stable unit (orjson and json word
+    their messages differently). Oracle: the committed pure-Python golden,
+    which records the same normalized class per doc."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.pipeline import extract
+    from t2p_spark.schema import DOCS_SCHEMA
+    from t2p_spark.synth import corpus_rows
+
+    docs = spark.createDataFrame(
+        list(corpus_rows(120, seed=7, chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    out = extract(docs, parallelism=4)
+    return (
+        out.select(
+            "status",
+            F.when(F.col("error") == "", "")
+             .otherwise(F.split("error", ":").getItem(0)).alias("reason"),
+        )
+        .groupBy("status", "reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Binary-media plumbing: docs -> media table (fake codec) -> vectorized
     header parse. Oracle: the header fields are pure functions of
@@ -157,6 +185,14 @@ EXTRACT_SYNTH_ORACLE = f"""
                              'n_blocks': 'INTEGER', 'n_spans': 'INTEGER'}})
 """
 
+QUARANTINE_REASONS_ORACLE = f"""
+    SELECT status, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM read_json('{SYNTH_GOLDEN}',
+                   columns={{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
+                             'reason': 'VARCHAR'}})
+    GROUP BY status, reason
+"""
+
 RENDER_GOLDEN = os.path.join(REPO, "tests", "golden_render",
                              "render_canon_md5.json")
 
@@ -228,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_fixture_spans": extract_fixture_spans,
         "extract_synth_corpus": extract_synth_corpus,
+        "quarantine_reasons": quarantine_reasons,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "render_pagexml": render_pagexml,
@@ -279,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "extract_fixture_spans": EXTRACT_FIXTURES_ORACLE,
         "extract_synth_corpus": EXTRACT_SYNTH_ORACLE,
+        "quarantine_reasons": QUARANTINE_REASONS_ORACLE,
         "multimodal_meta": MULTIMODAL_META_ORACLE,
         "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
         "render_pagexml": RENDER_PAGEXML_ORACLE,

@@ -56,7 +56,7 @@ QUERIES = [
     "split_leakage", "events_value_quantiles", "embedding_centroids",
     "tfidf_top_terms", "ann_topk_multitable", "events_stream_dedup",
     "bm25_search", "events_funnel", "repetition_stats",
-    "contamination_check", "stream_neardup_screen",
+    "contamination_check", "stream_neardup_screen", "quarantine_reasons",
 ]
 
 

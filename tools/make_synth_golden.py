@@ -42,8 +42,13 @@ def doc_metrics(spans) -> dict:
         )
     )
     n_blocks = 0
+    # reason = the kernel's normalized error class (the text before ':'):
+    # 'InvalidDoc' / 'JSONDecodeError' / the convert_doc_safe exception
+    # class — mirroring t2p_spark/kernel.py:90-107 exactly. The class (not
+    # the message) is the twin-stable unit: orjson and json word their
+    # parse errors differently.
     if media is None or not payload:
-        status, out_spans = "quarantined", []
+        status, out_spans, reason = "quarantined", [], "InvalidDoc"
     else:
         w, h = media[1].split("x")
         try:
@@ -52,12 +57,14 @@ def doc_metrics(spans) -> dict:
                 raise ValueError("payload is not a JSON object")
             n_blocks = len(aws.get("Blocks") or [])
         except ValueError:
-            status, out_spans = "quarantined", []
+            status, out_spans, reason = "quarantined", [], "JSONDecodeError"
         else:
-            status, out_spans, _err = convert_doc_safe(
+            status, out_spans, err = convert_doc_safe(
                 aws, int(w), int(h), media[2]
             )
-    return {"status": status, "n_blocks": n_blocks, "n_spans": len(out_spans)}
+            reason = err.split(":")[0] if err else ""
+    return {"status": status, "n_blocks": n_blocks,
+            "n_spans": len(out_spans), "reason": reason}
 
 
 def main() -> int:
