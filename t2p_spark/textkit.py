@@ -627,6 +627,39 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         WHERE sa.split <> sb.split
     """
 
+    # CCNet-style unigram-LM quality score: per-doc mean negative log-prob
+    # under the corpus's own unigram distribution (the cheap stand-in for
+    # the wikipedia-LM perplexity filter; low = fluent/common vocabulary,
+    # high = rare-token soup). Parity engineering: the per-token log-prob
+    # is quantized to an integer ONCE PER VOCAB TERM
+    # (FLOOR(LN(cnt/N)*1e6)), so the per-doc aggregation is an exact
+    # integer sum — immune to float-sum ordering, which differs between
+    # Spark's partial aggregation and DuckDB. Scale shape: explode ->
+    # tf groupBy -> vocab join (vocab << corpus) -> doc groupBy.
+    q["lm_score"] = f"""
+        WITH tok AS ({tok_explode}),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok
+        ),
+        vocab AS (
+          SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        ),
+        n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+        logq AS (
+          SELECT tok,
+                 CAST(FLOOR(LN(cnt / n.n_total) * 1000000.0) AS BIGINT)
+                   AS logq_x1e6
+          FROM vocab CROSS JOIN n
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND(-CAST(SUM(tf.tf * lq.logq_x1e6) AS DOUBLE)
+                     / (1000000.0 * SUM(tf.tf)), 6) AS mean_neg_logprob
+        FROM tf JOIN logq lq ON lq.tok = tf.tok
+        GROUP BY tf.doc_id
+    """
+
     # Gopher-style repetition signals: top-token fraction + duplicate-2gram
     # fraction, with the filter verdict a curation pipeline would act on.
     # All ratios are FLOOR-scaled exact integers (twin-identical). Scale

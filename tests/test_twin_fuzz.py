@@ -30,6 +30,7 @@ FUZZED = [
     "dedup_exact", "lang_id", "quality_score", "token_stats",
     "token_stats_bpe", "doc_fingerprint", "corpus_filter", "sample_split",
     "repetition_stats", "contamination_check", "minhash_signatures",
+    "lm_score",
 ]
 
 WORDS = ["the", "a", "spark", "join", "merge", "x1", "9", "zz",
