@@ -627,6 +627,51 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         WHERE sa.split <> sb.split
     """
 
+    # The dedup DECISION list — what the pipeline actually executes: every
+    # doc in a near-dup cluster gets keep/drop, keeping the HIGHEST-quality
+    # member (not the min doc_id — quality-aware survivor selection is the
+    # production rule). Composes connected components x quality_score;
+    # ranking is on the ROUNDED quality (parity-stable) with doc_id
+    # tie-break. Spark reads cc_mat (materialized by run_textkit via the
+    # iterative CC); the oracle inlines the recursive-CTE walk. Scale
+    # shape: two joins on doc_id + one per-cluster window (WindowGroupLimit
+    # caps it map-side).
+    if e == "s":
+        cc_src = "SELECT doc_id, cluster_rep FROM cc_mat"
+    else:
+        cc_src = f"""
+          WITH RECURSIVE pairs AS ({q['dedup_minhash_lsh']}),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+          ),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          walk(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.doc_id
+          )
+          SELECT doc_id, MIN(label) AS cluster_rep
+          FROM walk GROUP BY doc_id
+        """
+    q["dedup_keep_list"] = f"""
+        WITH comps AS ({cc_src}),
+        qual AS ({q['quality_score']}),
+        ranked AS (
+          SELECT c.doc_id, c.cluster_rep, qu.quality,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_rep
+                   ORDER BY qu.quality DESC, c.doc_id
+                 ) AS rnk
+          FROM comps c JOIN qual qu ON qu.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_rep, quality,
+               CASE WHEN rnk = 1 THEN 'keep' ELSE 'drop' END AS decision
+        FROM ranked
+    """
+
     # CCNet-style unigram-LM quality score: per-doc mean negative log-prob
     # under the corpus's own unigram distribution (the cheap stand-in for
     # the wikipedia-LM perplexity filter; low = fluent/common vocabulary,
@@ -796,6 +841,9 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     if name == "dedup_components":
         return dedup_components(spark)
+    if name == "dedup_keep_list":
+        # materialize the iterative CC labels for the decision query
+        dedup_components(spark).createOrReplaceTempView("cc_mat")
     prepare_textkit_views(spark, name)
     return spark.sql(spark_sql_queries()[name])
 
