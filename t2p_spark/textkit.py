@@ -80,6 +80,13 @@ def _adistinct(lst: str, engine: str) -> str:
     return f"array_distinct({lst})" if engine == "s" else f"list_distinct({lst})"
 
 
+def _idiv(a: str, b: str, engine: str) -> str:
+    """Exact integer division (both operands non-negative). Spark's `/` and
+    DuckDB's `/` both promote integers to DOUBLE — a parity hazard near
+    rounding boundaries — so integer math must use DIV / // explicitly."""
+    return f"(({a}) DIV ({b}))" if engine == "s" else f"(({a}) // ({b}))"
+
+
 # Scale-preset knobs (builder arguments of _build/spark_sql_queries/
 # duckdb_oracle_queries, mirroring ann.make_planes): defaults match the
 # oracle corpus; at 10^9+ docs raise N_MINHASH (more bands -> higher
@@ -679,8 +686,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # is quantized to an integer ONCE PER VOCAB TERM
     # (FLOOR(LN(cnt/N)*1e6)), so the per-doc aggregation is an exact
     # integer sum — immune to float-sum ordering, which differs between
-    # Spark's partial aggregation and DuckDB. Scale shape: explode ->
-    # tf groupBy -> vocab join (vocab << corpus) -> doc groupBy.
+    # Spark's partial aggregation and DuckDB — and the mean is emitted as
+    # a x1e6 BIGINT via exact half-up integer division ((2a+b) div 2b):
+    # the fuzz suite caught Spark and DuckDB ROUND(double, 6) disagreeing
+    # by one ulp at a boundary, so no float touches the output at all.
+    # Scale shape: explode -> tf groupBy -> vocab join (vocab << corpus)
+    # -> doc groupBy.
     q["lm_score"] = f"""
         WITH tok AS ({tok_explode}),
         tf AS (
@@ -699,8 +710,9 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         )
         SELECT tf.doc_id,
                CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-               ROUND(-CAST(SUM(tf.tf * lq.logq_x1e6) AS DOUBLE)
-                     / (1000000.0 * SUM(tf.tf)), 6) AS mean_neg_logprob
+               CAST({_idiv('-2 * SUM(tf.tf * lq.logq_x1e6) + SUM(tf.tf)',
+                           '2 * SUM(tf.tf)', e)} AS BIGINT)
+                 AS mean_neg_logprob_x1e6
         FROM tf JOIN logq lq ON lq.tok = tf.tok
         GROUP BY tf.doc_id
     """
