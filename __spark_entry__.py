@@ -148,6 +148,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+def media_phash_clusters(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Media near-dup dedup: cluster by the integer perceptual fingerprint
+    (aHash over the codec's byte histogram) — the simhash_clusters shape
+    for binary media. Oracle: the fingerprint is replayed in exact-integer
+    DuckDB SQL from (media_id, W, H), like the feature oracle."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.multimodal import media_phash, media_table_from_docs
+
+    media = media_table_from_docs(_fixture_docs(spark))
+    return (
+        media_phash(media)
+        .groupBy("phash")
+        .agg(F.count("*").cast("long").alias("n_media"),
+             F.min("media_id").alias("rep_media_id"))
+    )
+
+
 def render_pagexml(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """PAGE-XML renderer over the 8-doc reference corpus. Oracle: canonical
     md5s derived from the REFERENCE's own committed XMLs (same Metadata/
@@ -230,6 +248,32 @@ MULTIMODAL_META_ORACLE = f"""
 # buckets by byte value % 8, and frame_sample(every_n=4, frame_bytes=256)
 # emits ceil((n_body // 256) / 4) frames. All replayable in exact integer
 # arithmetic from (doc_id, media_ref, W, H).
+# dHash replay: bit b set iff byte(233b) > byte(233b+97), bytes generated
+# by the fake codec's (seed*1103515245 + i*12345) % 256 formula
+# (t2p_spark/multimodal.py media_phash — see the alignment note there).
+_PHASH_BITS = " + ".join(
+    f"""(CASE WHEN {233 * b + 97} < n_body2048
+           AND (seed * 1103515245 + {233 * b} * 12345) % 256
+             > (seed * 1103515245 + {233 * b + 97} * 12345) % 256
+         THEN {1 << b} ELSE 0 END)"""
+    for b in range(8)
+)
+
+MEDIA_PHASH_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id || '#' || media_ref AS media_id,
+             LEAST(LEAST(width * height * 3, 4096), 2048) AS n_body2048,
+             length(doc_id || '#' || media_ref) AS seed
+      FROM {_GOLDEN_DIMS}
+    ),
+    ph AS (
+      SELECT media_id, CAST({_PHASH_BITS} AS BIGINT) AS phash FROM m
+    )
+    SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_media,
+           MIN(media_id) AS rep_media_id
+    FROM ph GROUP BY phash
+"""
+
 MULTIMODAL_FEATURES_ORACLE = f"""
     WITH m AS (
       SELECT doc_id || '#' || media_ref AS media_id,
@@ -267,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_reasons": quarantine_reasons,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
+        "media_phash_clusters": media_phash_clusters,
         "render_pagexml": render_pagexml,
     }
     for name in RELATIONAL_SQL:
@@ -319,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "quarantine_reasons": QUARANTINE_REASONS_ORACLE,
         "multimodal_meta": MULTIMODAL_META_ORACLE,
         "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
+        "media_phash_clusters": MEDIA_PHASH_ORACLE,
         "render_pagexml": RENDER_PAGEXML_ORACLE,
     }
     out.update(RELATIONAL_SQL)          # shared ANSI SQL, verbatim

@@ -261,6 +261,59 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+PHASH_ARROW = pa.schema([
+    ("media_id", pa.string()),
+    ("phash", pa.int64()),
+])
+
+
+# dHash sample positions: bit b compares body[233*b] vs body[233*b + 97].
+# Odd stride/offset on purpose — the fake codec's byte stream has period
+# 256 in i (12345 ≡ 57 mod 256, full cycle), so any 256-aligned sampling
+# (and any histogram of a 256-multiple window) is seed-invariant and
+# degenerate; 233/97 break the alignment and the 8 fixture media yield 6
+# distinct hashes with two 2-member collision clusters.
+PHASH_STRIDE, PHASH_OFFSET = 233, 97
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Perceptual-hash-style media fingerprint — the dHash recipe (bit =
+    sampled cell brighter than its neighbor) over the decoded byte stream;
+    with the offline-stub codec the 'pixels' are the fake payload bytes,
+    but the kernel shape (binary column in, integer fingerprint out,
+    Arrow-batched) and the downstream cluster-groupBy are production-real.
+    Pure integer comparisons, so the DuckDB oracle replays it bit-for-bit
+    from (media_id, W, H). Near-dup media dedup then clusters on the
+    fingerprint — no pairwise compare anywhere."""
+
+    def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("content").to_pylist()
+            hashes = []
+            for blob in blobs:
+                body = (blob or b"")[16:2048 + 16]
+                ph = 0
+                for b in range(FEATURE_DIM):
+                    p = PHASH_STRIDE * b
+                    q = p + PHASH_OFFSET
+                    if q < len(body) and body[p] > body[q]:
+                        ph |= 1 << b
+                hashes.append(ph)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(hashes, pa.int64())],
+                schema=PHASH_ARROW,
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        _kernel, schema=PHASH_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 4,
                  frame_bytes: int = 256) -> DataFrame:
     """Sample every Nth fixed-size frame from a (fake) video payload:

@@ -57,7 +57,7 @@ QUERIES = [
     "tfidf_top_terms", "ann_topk_multitable", "events_stream_dedup",
     "bm25_search", "events_funnel", "repetition_stats",
     "contamination_check", "stream_neardup_screen", "quarantine_reasons",
-    "lm_score", "dedup_keep_list",
+    "lm_score", "dedup_keep_list", "media_phash_clusters",
 ]
 
 
