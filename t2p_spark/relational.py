@@ -206,6 +206,42 @@ RELATIONAL_SQL = {
     # DISTINCTs. Shared ANSI; each stage is a pushed event_type filter +
     # agg on user_id, chained by equi-joins on user_id (no window over
     # the full event stream needed).
+    # weekly cohort retention — the product-analytics staple. Emits
+    # (cohort_week, active_week) PAIRS rather than an integer offset:
+    # timestamp subtraction is engine-specific (interval vs integer), while
+    # date_trunc('week') + equality joins are shared ANSI. Retention ratio
+    # is FLOOR-scaled to an exact x1e6 integer (FLOOR(a*1e6/b) on exact
+    # integer inputs is IEEE-identical in both engines for b < 2^53/1e6 —
+    # and `a DIV b` / `a // b` are not shared syntax). Scale shape: one
+    # groupBy per CTE + two equi-joins on user_id/cohort_week; the
+    # distinct-weeks explode is bounded by weeks-in-retention-window.
+    "events_cohort_retention": """
+        WITH firstw AS (
+          SELECT user_id,
+                 MIN(date_trunc('week', CAST(ts AS TIMESTAMP)))
+                   AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id,
+                 date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+          FROM events
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM firstw GROUP BY cohort_week
+        )
+        SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(a.active_week AS TIMESTAMP) AS active_week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               s.cohort_size,
+               CAST(FLOOR(COUNT(*) * 1000000.0 / s.cohort_size) AS BIGINT)
+                 AS retention_x1e6
+        FROM firstw f
+        JOIN active a ON a.user_id = f.user_id
+        JOIN sizes s ON s.cohort_week = f.cohort_week
+        GROUP BY f.cohort_week, a.active_week, s.cohort_size
+    """,
     "events_funnel": """
         WITH v AS (
           SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view

@@ -58,6 +58,7 @@ QUERIES = [
     "bm25_search", "events_funnel", "repetition_stats",
     "contamination_check", "stream_neardup_screen", "quarantine_reasons",
     "lm_score", "dedup_keep_list", "media_phash_clusters",
+    "events_cohort_retention",
 ]
 
 
