@@ -242,6 +242,27 @@ RELATIONAL_SQL = {
         JOIN sizes s ON s.cohort_week = f.cohort_week
         GROUP BY f.cohort_week, a.active_week, s.cohort_size
     """,
+    # rolling 7-day distinct active users per day — the DAU/WAU rolling
+    # metric. Day-level pre-aggregation first (distinct (day, user) is tiny
+    # relative to events), then a bounded self-join over the 7-day window:
+    # `RANGE BETWEEN INTERVAL` window frames differ between engines, while
+    # timestamp BETWEEN arithmetic with INTERVAL literals is shared ANSI.
+    # Scale shape: one distinct shuffle + a days x 7 self-join on a
+    # relation with one row per (day, user).
+    "events_rolling_7d_users": """
+        WITH du AS (
+          SELECT DISTINCT
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day, user_id
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users_7d
+        FROM days d
+        JOIN du a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    """,
     "events_funnel": """
         WITH v AS (
           SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view

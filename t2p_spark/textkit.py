@@ -634,6 +634,29 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         WHERE sa.split <> sb.split
     """
 
+    # Deterministic stratified subsampling: within every source stratum,
+    # rank docs by their content-independent hash and keep an exact 20%
+    # quota (CEIL, so tiny strata keep >= 1). Hash-rank sampling is the
+    # reproducible, cluster-size-invariant alternative to random() — the
+    # property a training-data sampler must have — and the quota is exact
+    # per stratum, which bernoulli hashing (sample_split) cannot give.
+    # Scale shape: one window per stratum (rank + count over source).
+    q["stratified_sample"] = f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_hash60(docid_str, e)}, doc_id
+                 ) AS rnk,
+                 COUNT(*) OVER (PARTITION BY source) AS n_source
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+               CAST(n_source AS BIGINT) AS n_source
+        FROM ranked
+        WHERE rnk <= CEIL(n_source / 5.0)
+    """
+
     # The dedup DECISION list — what the pipeline actually executes: every
     # doc in a near-dup cluster gets keep/drop, keeping the HIGHEST-quality
     # member (not the min doc_id — quality-aware survivor selection is the

@@ -58,7 +58,8 @@ QUERIES = [
     "bm25_search", "events_funnel", "repetition_stats",
     "contamination_check", "stream_neardup_screen", "quarantine_reasons",
     "lm_score", "dedup_keep_list", "media_phash_clusters",
-    "events_cohort_retention",
+    "events_cohort_retention", "stratified_sample",
+    "events_rolling_7d_users",
 ]
 
 
