@@ -248,7 +248,10 @@ RELATIONAL_SQL = {
     # `RANGE BETWEEN INTERVAL` window frames differ between engines, while
     # timestamp BETWEEN arithmetic with INTERVAL literals is shared ANSI.
     # Scale shape: one distinct shuffle + a days x 7 self-join on a
-    # relation with one row per (day, user).
+    # relation with one row per (day, user). The plan's
+    # BroadcastNestedLoopJoin broadcasts the DAYS side — bounded at one
+    # row per day (365/year) regardless of corpus size — so the non-equi
+    # BETWEEN costs |du| x |days| cheap comparisons, never a shuffle NL.
     "events_rolling_7d_users": """
         WITH du AS (
           SELECT DISTINCT
