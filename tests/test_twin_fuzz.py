@@ -102,3 +102,77 @@ def test_twins_agree_on_fuzzed_corpora(spark, _cleanup, rows):
         g = _rowset(got.columns, [tuple(r) for r in got.collect()])
         w = _rowset([c[0] for c in want.description], want.fetchall())
         assert g == w, name
+
+
+EVENTS_FUZZED = [
+    "events_sessionize", "events_tumbling_hour", "events_hypertable_rollup",
+    "events_cohort_retention", "events_rolling_7d_users", "events_funnel",
+    "events_value_quantiles", "events_props_stats",
+]
+
+_ET = ["view", "click", "purchase", "scroll"]
+_VALUES = [0.0, 50.0, 50.0000001, -3.25, 87.5, 1e6, 0.1]
+
+
+@st.composite
+def events_corpus(draw):
+    """Random events across the ISO-week/year boundary (2023-12-25 was a
+    Monday; Jan 1 2024 too) with value ties, the exact `> 50` boundary,
+    and shared user_ids — the inputs where engine date/window semantics
+    could drift."""
+    import datetime
+
+    base = datetime.datetime(2023, 12, 20)
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for eid in range(n):
+        ts = base + datetime.timedelta(
+            minutes=draw(st.integers(min_value=0, max_value=60 * 24 * 26)))
+        rows.append((
+            eid, ts,
+            draw(st.integers(min_value=1, max_value=6)),
+            draw(st.sampled_from(_ET)),
+            draw(st.sampled_from(_VALUES)),
+            '{"k": %d}' % draw(st.integers(min_value=0, max_value=999)),
+        ))
+    return rows
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=events_corpus())
+def test_events_twins_agree_on_fuzzed_corpora(spark, rows):
+    """The shared-ANSI events queries run VERBATIM in both engines; this
+    asserts the engines agree on the semantics the shared text leans on —
+    date_trunc at week/year boundaries, INTERVAL arithmetic, window
+    tie-breaks, conditional aggregation — on adversarial inputs."""
+    from t2p_spark.relational import RELATIONAL_SQL
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+            "props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    try:
+        for name in EVENTS_FUZZED:
+            got = spark.sql(RELATIONAL_SQL[name])
+            want = con.sql(RELATIONAL_SQL[name])
+            g = _rowset(got.columns, [tuple(r) for r in got.collect()])
+            w = _rowset([c[0] for c in want.description], want.fetchall())
+            assert g == w, name
+    finally:
+        # drop the synthetic view AND the registration memo, else a later
+        # test's register_views() would be memo-skipped against a dropped
+        # view (same contract as _restore_views for the documents fuzzer)
+        from t2p_spark import relational
+        from t2p_spark.session import session_key
+
+        skey = session_key(spark)
+        for k in [k for k in relational._REGISTERED if k[0] == skey]:
+            relational._REGISTERED.pop(k)
+        spark.catalog.dropTempView("events")
