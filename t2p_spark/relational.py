@@ -206,6 +206,29 @@ RELATIONAL_SQL = {
     # DISTINCTs. Shared ANSI; each stage is a pushed event_type filter +
     # agg on user_id, chained by equi-joins on user_id (no window over
     # the full event stream needed).
+    # join-key skew diagnostics — the profile you run BEFORE deciding to
+    # salt a join (events_by_segment_salted is the cure; this is the
+    # diagnosis): top-10 heaviest keys with their exact share. One groupBy
+    # + a global top-k window (WindowGroupLimit caps it map-side) + a
+    # 1-row broadcast for the total.
+    "events_key_skew": """
+        WITH counts AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+        ),
+        ranked AS (
+          SELECT user_id, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+          FROM counts
+        )
+        SELECT user_id, n, CAST(rnk AS BIGINT) AS rnk,
+               CAST(FLOOR(n * 1000000.0 / t.total) AS BIGINT) AS share_x1e6
+        FROM ranked r CROSS JOIN tot t
+        WHERE rnk <= 10
+    """,
     # weekly cohort retention — the product-analytics staple. Emits
     # (cohort_week, active_week) PAIRS rather than an integer offset:
     # timestamp subtraction is engine-specific (interval vs integer), while

@@ -59,7 +59,7 @@ QUERIES = [
     "contamination_check", "stream_neardup_screen", "quarantine_reasons",
     "lm_score", "dedup_keep_list", "media_phash_clusters",
     "events_cohort_retention", "stratified_sample",
-    "events_rolling_7d_users",
+    "events_rolling_7d_users", "events_key_skew", "embedding_outliers",
 ]
 
 
