@@ -486,7 +486,7 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM d GROUP BY label
         )
-        SELECT d.vec_id, d.label, d.dist2,
+        SELECT /*+ BROADCAST(m) */ d.vec_id, d.label, d.dist2,
                CASE WHEN 20 * d.dist2 * m.n > 21 * m.sum_d2
                     THEN 'outlier' ELSE 'ok' END AS verdict
         FROM d JOIN m ON m.label = d.label
