@@ -149,8 +149,12 @@ def get_child_ids(block: Dict) -> List[str]:
     convert such docs successfully, silently diverging from the reference
     (r2 ADVICE). Likewise Ids defaults via .get(.., []) — an explicit
     ``"Ids": null`` propagates None and crashes in the caller, as there.
+    And the default must be .get("Relationships", []) with NO ``or []``
+    coercion: an explicit ``"Relationships": null`` returns None and the
+    any() scan raises TypeError (-> quarantine) in the reference too
+    (r3 ADVICE).
     """
-    rels = block.get("Relationships") or []
+    rels = block.get("Relationships", [])
     if not any(r.get("Type") == "CHILD" for r in rels):
         return []
     return [r.get("Ids", []) for r in rels if r["Type"] == "CHILD"][0]

@@ -48,9 +48,12 @@ def docs_from_json_dir(spark: SparkSession, json_dir: str,
     '%', or '#' arrive percent-encoded and would never match the dims key
     (r2 ADVICE) — decode before extracting the stem (try_ variant:
     malformed escapes keep the raw name rather than failing the scan).
+    url_decode uses x-www-form-urlencoded semantics where a literal '+'
+    means space, but input_file_name leaves '+' unencoded in the URI —
+    escape it to %2B first so 'a+b.json' round-trips (r3 ADVICE).
     """
     reader = spark.readStream if streaming else spark.read
-    fname = F.input_file_name()
+    fname = F.regexp_replace(F.input_file_name(), r"\+", "%2B")
     decoded = F.coalesce(F.call_function("try_url_decode", fname), fname)
     raw = (
         reader.format("text").option("wholetext", "true").load(json_dir)

@@ -376,8 +376,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     from t2p_spark.session import session_key
 
     skey = session_key(spark)
-    key = (skey, sf_dir)
-    if _REGISTERED.get(key):
+    # Idempotency keys on the LAST-registered sf_dir for the session, not
+    # on (session, sf_dir): temp views are named, so an A -> B -> A swap
+    # leaves the views pointing at B while a (session, A) cache hit would
+    # skip re-registration — silently computing over the wrong dataset
+    # (r3 ADVICE). Any sf_dir change re-registers and bumps the generation.
+    if _REGISTERED.get(skey) == sf_dir:
         return
     par = spark.sparkContext.defaultParallelism
     is_local = spark.sparkContext.master.startswith("local")
@@ -386,7 +390,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         if is_local and df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
-    _REGISTERED[key] = True
+    _REGISTERED[skey] = sf_dir
     VIEW_GENERATION[skey] = VIEW_GENERATION.get(skey, 0) + 1
 
 

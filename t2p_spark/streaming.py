@@ -15,6 +15,8 @@ needs, built on the same kernels so batch/stream semantics are identical:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -187,10 +189,22 @@ def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
     per = (n + n_chunks - 1) // n_chunks
     rn = F.row_number().over(Window.orderBy("ts", "event_id"))
     chunked = ev.withColumn("_rn", rn)
+    # FileStreamSource orders files by mtime at ms resolution: two chunk
+    # writes landing in the same millisecond could replay out of order and
+    # break the time-order precondition above (the 2h watermark would then
+    # drop rows — an intermittent oracle flake, r3 ADVICE). Pin each
+    # chunk's part-file mtime explicitly in chunk order.
+    pinned: set = set()
+    base_mtime = os.stat(out_dir).st_mtime
     for i in range(n_chunks):
         (chunked
          .filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
          .drop("_rn").coalesce(1).write.mode("append").parquet(out_dir))
+        for f in os.listdir(out_dir):
+            if f.startswith("part-") and f not in pinned:
+                t = base_mtime + (i + 1) * 10.0
+                os.utime(os.path.join(out_dir, f), (t, t))
+                pinned.add(f)
     _STAGED[key] = (out_dir, ev.schema)
     return _STAGED[key]
 

@@ -575,8 +575,11 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # tiny query-term relation prunes the exploded token stream BEFORE any
     # aggregation (semi-join on the term), so tf/df are computed only for
     # query terms; one window for the final top-k. Parity: inputs are
-    # exact integers, the score is assembled once in double and ROUNDed,
-    # ranking on the rounded value with doc_id tie-break.
+    # exact integers; each per-(doc,term) score is quantized to a x1e6
+    # BIGINT BEFORE the SUM (lm_score's pattern — r3 ADVICE: summing
+    # doubles is order-dependent and Spark's partial aggregation orders
+    # differently from DuckDB), so the per-doc aggregate is an exact
+    # integer sum; ranking on it with doc_id tie-break.
     qterms = "('the','press','with','from','local','report')"
     q["bm25_search"] = f"""
         WITH tok AS ({tok_explode}),
@@ -601,21 +604,22 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         ),
         scored AS (
           SELECT tf.doc_id,
-                 ROUND(SUM(
+                 CAST(SUM(CAST(FLOOR(
                    LN(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
                    (tf.tf * 2.2) /
                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
-                 ), 6) AS bm25
+                   * 1000000.0
+                 ) AS BIGINT)) AS BIGINT) AS bm25_x1e6
           FROM tf
           JOIN df ON df.tok = tf.tok
           JOIN dl ON dl.doc_id = tf.doc_id
           CROSS JOIN n
           GROUP BY tf.doc_id
         )
-        SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+        SELECT doc_id, bm25_x1e6, CAST(rnk AS BIGINT) AS rnk
         FROM (
-          SELECT doc_id, bm25,
-                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          SELECT doc_id, bm25_x1e6,
+                 ROW_NUMBER() OVER (ORDER BY bm25_x1e6 DESC, doc_id) AS rnk
           FROM scored
         ) r WHERE rnk <= 20
     """

@@ -108,7 +108,7 @@ def test_ingest_encoded_names_and_quarantine(spark, tmp_path):
     (tmp_path / "responses").mkdir()
     src = fixture_ids()[0]
     g = golden_meta(src)
-    tricky = ["doc with space", "doc%20literal", "doc#frag", "plain"]
+    tricky = ["doc with space", "doc%20literal", "doc#frag", "a+b", "plain"]
     for name in tricky:
         shutil.copy(f"{REF_JSON_DIR}/{src}.json", f"{json_dir}/{name}.json")
     # dims for all but the last -> exactly one quarantined doc

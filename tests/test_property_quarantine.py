@@ -166,6 +166,11 @@ def test_typeless_relationship_crash_parity():
     # reference's rel.get("Ids", []) comprehension)
     assert get_child_ids(
         {"Relationships": [{"Type": "CHILD", "Ids": None}]}) is None
+    # explicit "Relationships": null — reference's .get(.., []) returns
+    # None and any() over it raises TypeError (r3 ADVICE: an `or []`
+    # coercion here silently converted such docs)
+    with pytest.raises(TypeError):
+        get_child_ids({"Relationships": None})
 
     # end-to-end: such a doc quarantines instead of converting (LINE —
     # PAGE children are never fetched through this accessor, there or here)

@@ -31,8 +31,7 @@ def _restore_views(spark):
     from t2p_spark.session import session_key
 
     skey = session_key(spark)
-    for k in [k for k in relational._REGISTERED if k[0] == skey]:
-        relational._REGISTERED.pop(k)
+    relational._REGISTERED.pop(skey, None)
     for k in [k for k in textkit._TOK_CACHE
               if (isinstance(k, tuple) and skey in k)]:
         df = textkit._TOK_CACHE.pop(k)
@@ -282,8 +281,7 @@ def test_multiprobe_recall_beats_single_probe(spark):
     finally:
         spark.catalog.dropTempView("embeddings")
         skey = session_key(spark)
-        for k in [k for k in relational._REGISTERED if k[0] == skey]:
-            relational._REGISTERED.pop(k)
+        relational._REGISTERED.pop(skey, None)
 
 
 def test_textkit_presets_keep_twin_parity(spark):

@@ -173,6 +173,5 @@ def test_events_twins_agree_on_fuzzed_corpora(spark, rows):
         from t2p_spark.session import session_key
 
         skey = session_key(spark)
-        for k in [k for k in relational._REGISTERED if k[0] == skey]:
-            relational._REGISTERED.pop(k)
+        relational._REGISTERED.pop(skey, None)
         spark.catalog.dropTempView("events")
