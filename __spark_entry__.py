@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range join (bin-quantized equi-join; plain theta-join twin)
     out["events_value_bands"] = \
         lambda spark, sf: run_relational(spark, sf, "events_value_bands")
+    # rolling 7-day actives (linear day-explode; generate_series twin)
+    out["events_rolling_7d_users"] = \
+        lambda spark, sf: run_relational(spark, sf, "events_rolling_7d_users")
     for name in spark_sql_queries():
         out[name] = (lambda n: lambda spark, sf: run_textkit(spark, sf, n))(name)
     # iterative connected-components dedup resolution (not a single SQL
@@ -409,7 +412,7 @@ def oracle_sql() -> dict[str, str]:
     from t2p_spark.ann import ivf_sql
     from t2p_spark.relational import (
         EVENTS_ASOF_ORACLE, EVENTS_BY_SEGMENT_ORACLE,
-        EVENTS_VALUE_BANDS_ORACLE,
+        EVENTS_ROLLING_7D_ORACLE, EVENTS_VALUE_BANDS_ORACLE,
     )
     from t2p_spark.textkit import dedup_components_oracle_sql
 
@@ -417,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_by_segment_salted"] = EVENTS_BY_SEGMENT_ORACLE
     out["events_asof_order"] = EVENTS_ASOF_ORACLE
     out["events_value_bands"] = EVENTS_VALUE_BANDS_ORACLE
+    out["events_rolling_7d_users"] = EVENTS_ROLLING_7D_ORACLE
     out["ann_topk_ivf"] = ivf_sql("d")
     # drained streams == the batch SQL (shared ANSI text, verbatim)
     out["events_sessionize_streamed"] = RELATIONAL_SQL["events_sessionize"]

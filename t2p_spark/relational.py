@@ -265,30 +265,6 @@ RELATIONAL_SQL = {
         JOIN sizes s ON s.cohort_week = f.cohort_week
         GROUP BY f.cohort_week, a.active_week, s.cohort_size
     """,
-    # rolling 7-day distinct active users per day — the DAU/WAU rolling
-    # metric. Day-level pre-aggregation first (distinct (day, user) is tiny
-    # relative to events), then a bounded self-join over the 7-day window:
-    # `RANGE BETWEEN INTERVAL` window frames differ between engines, while
-    # timestamp BETWEEN arithmetic with INTERVAL literals is shared ANSI.
-    # Scale shape: one distinct shuffle + a days x 7 self-join on a
-    # relation with one row per (day, user). The plan's
-    # BroadcastNestedLoopJoin broadcasts the DAYS side — bounded at one
-    # row per day (365/year) regardless of corpus size — so the non-equi
-    # BETWEEN costs |du| x |days| cheap comparisons, never a shuffle NL.
-    "events_rolling_7d_users": """
-        WITH du AS (
-          SELECT DISTINCT
-                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
-                   AS day, user_id
-          FROM events
-        ),
-        days AS (SELECT DISTINCT day FROM du)
-        SELECT d.day,
-               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users_7d
-        FROM days d
-        JOIN du a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
-        GROUP BY d.day
-    """,
     "events_funnel": """
         WITH v AS (
           SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
@@ -402,6 +378,8 @@ def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.sql(EVENTS_ASOF_SPARK)
     if name == "events_value_bands":
         return spark.sql(EVENTS_VALUE_BANDS_SPARK)
+    if name == "events_rolling_7d_users":
+        return spark.sql(EVENTS_ROLLING_7D_SPARK)
     return spark.sql(RELATIONAL_SQL[name])
 
 
@@ -414,6 +392,44 @@ def run_relational(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per-user timeline length. DuckDB twin: native ASOF LEFT JOIN.
 # Right side is pre-deduped to one order per (custkey, date) (max orderkey)
 # so same-date ties cannot make ASOF nondeterministic.
+
+# --- rolling 7-day distinct active users per day (DAU/WAU) ------------------
+#
+# r2/r3 shipped this as a shared-ANSI INTERVAL-BETWEEN self-join; its
+# BroadcastNestedLoopJoin tested every (day, user) row against ALL days —
+# O(|du| x |days|) comparisons for a result of size 7·|du|, 50-150x
+# avoidable work over a multi-year corpus (r3 VERDICT "what's wrong" #1).
+# The linear-work shape: explode each distinct (day, user) row to the <=7
+# window days it covers (engine-specific expression — Spark `sequence`,
+# DuckDB `generate_series` — identical values), then a plain equi-join
+# against the observed-day list + COUNT(DISTINCT). One distinct shuffle +
+# one broadcastable day join; work is 7·|du| regardless of date range.
+
+_ROLLING_7D = """
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    covered AS (
+      SELECT {explode_7d} AS day_w, user_id FROM du
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM covered c JOIN days d ON d.day = c.day_w
+    GROUP BY d.day
+"""
+
+EVENTS_ROLLING_7D_SPARK = _ROLLING_7D.format(
+    explode_7d="explode(sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))"
+)
+EVENTS_ROLLING_7D_ORACLE = _ROLLING_7D.format(
+    explode_7d="unnest(generate_series(day, day + INTERVAL 6 DAY,"
+               " INTERVAL 1 DAY))"
+)
+
 
 EVENTS_ASOF_SPARK = """
     WITH ord AS (

@@ -103,6 +103,13 @@ HAMMING_MAX = 3         # <= bands-1 differing bits guarantees a shared band
 # Applied identically in BOTH engine twins, so the operator computes
 # df-capped Jaccard (standard practice for Jaccard mining at scale).
 JACCARD_MAX_DF = 64
+# substring (sequence-level) dedup: passage length in tokens and the
+# document-frequency threshold at which a passage counts as repeated
+# across documents. 5 tokens keeps the oracle corpus interesting; a web
+# corpus would use ~50 (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better") — both twins derive from the same knob.
+SUBSTR_N = 5
+SUBSTR_MIN_DF = 2
 
 
 def _tok_source(engine: str) -> str:
@@ -195,7 +202,8 @@ def _simhash_expr(hashes: str, engine: str) -> str:
 # forked bodies (LSH pair join shape, explode vs unnest).
 
 def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
-           jaccard_max_df: int = None) -> dict:
+           jaccard_max_df: int = None, substr_n: int = None,
+           substr_min_df: int = None) -> dict:
     e = engine
     q = {}
     tok_src = _tok_source(e)
@@ -206,6 +214,8 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     band_bits = SIMHASH_BITS // sh_bands
     hamming_max = sh_bands - 1  # pigeonhole: banded == brute force
     jac_cap = JACCARD_MAX_DF if jaccard_max_df is None else jaccard_max_df
+    sub_n = SUBSTR_N if substr_n is None else substr_n
+    sub_df = SUBSTR_MIN_DF if substr_min_df is None else substr_min_df
 
     # exact dedup groups (hash-groupBy; one shuffle on the 128-bit key)
     q["dedup_exact"] = """
@@ -350,6 +360,79 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
     """
 
+    # sequence-level (substring) dedup — the dominant real-world dedup
+    # mode for web corpora: find fixed-length token passages repeated
+    # ACROSS documents and drop every occurrence outside one canonical
+    # keeper doc (min doc_id per passage), reporting per-doc dropped-token
+    # counts and the md5 of the retained text. Scale shape: positional
+    # explode -> passage-hash groupBy (document frequency, bucketed by
+    # hash — never an all-pairs join), flagged-start explode to covered
+    # positions, NOT-EXISTS anti-join back onto the token stream, one
+    # per-doc ordered aggregation. Work is O(|tokens| + {sub_n}·|flagged|)
+    # regardless of corpus size. Engine forks: posexplode vs parallel
+    # unnest(generate_series) for positional explode; ordered retained
+    # concat via sorted-struct collect_list vs string_agg(ORDER BY).
+    if e == "s":
+        tokpos = ("SELECT doc_id, p + 1 AS pos, tok FROM documents_tok "
+                  "LATERAL VIEW posexplode(toks) tp AS p, tok")
+        shpos = f"""SELECT doc_id, p + 1 AS start, md5(sh) AS shash
+              FROM (SELECT doc_id, {_shingles('toks', sub_n, 's')} AS shs
+                    FROM documents_tok) t
+              LATERAL VIEW posexplode(shs) sp AS p, sh"""
+        covered = (f"SELECT doc_id, explode(sequence(start, "
+                   f"start + {sub_n - 1})) AS pos FROM flagged")
+        retained = ("md5(concat_ws(' ', transform("
+                    "array_sort(collect_list(struct(pos, tok))), "
+                    "x -> x.tok)))")
+    else:
+        tokpos = (f"SELECT doc_id, "
+                  f"unnest(generate_series(1, len(toks))) AS pos, "
+                  f"unnest(toks) AS tok FROM {tok_src} td")
+        shpos = f"""SELECT doc_id,
+                     unnest(generate_series(1, len(shs))) AS start,
+                     unnest(list_transform(shs, s -> md5(s))) AS shash
+              FROM (SELECT doc_id, {_shingles('toks', sub_n, 'd')} AS shs
+                    FROM {tok_src} t) t2"""
+        covered = (f"SELECT doc_id, unnest(generate_series(start, "
+                   f"start + {sub_n - 1})) AS pos FROM flagged")
+        retained = "md5(string_agg(tok, ' ' ORDER BY pos))"
+    q["substring_dedup"] = f"""
+        WITH tokpos AS ({tokpos}),
+        sh AS ({shpos}),
+        df AS (
+          SELECT shash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                 CAST(MIN(doc_id) AS BIGINT) AS keeper
+          FROM sh GROUP BY shash
+        ),
+        flagged AS (
+          SELECT s.doc_id, s.start
+          FROM sh s JOIN df ON df.shash = s.shash
+          WHERE df.df >= {sub_df} AND s.doc_id <> df.keeper
+        ),
+        dropped AS (
+          SELECT DISTINCT doc_id, pos FROM ({covered}) c
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM tokpos t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM dropped d
+            WHERE d.doc_id = t.doc_id AND d.pos = t.pos
+          )
+        ),
+        kept_agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 {retained} AS retained_md5
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST({_asize('toks', e)} AS BIGINT) AS n_tokens,
+               CAST({_asize('toks', e)} - COALESCE(k.n_kept, 0) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(k.retained_md5, md5('')) AS retained_md5
+        FROM {tok_src} d LEFT JOIN kept_agg k ON k.doc_id = d.doc_id
+    """
+
     # language-ID heuristic (fixed EN stopword set; deterministic ratios)
     stop = "('the','a','an','and','of','to','in','is','it','on')"
     if e == "s":
@@ -443,6 +526,44 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
           FROM documents
         ) f
         GROUP BY source
+    """
+
+    # PII / secrets scrubbing — the standard curation stage before any
+    # corpus leaves the lake: redact emails, 3-3-4 phone numbers, and
+    # key-shaped strings (prefixed API tokens, >=32-hex-char runs),
+    # reporting per-doc detection counts + the md5 of the redacted text.
+    # Patterns are ASCII-class-only with NO backslash escapes, so the
+    # same literal pattern text means the same thing to Java regex
+    # (Spark) and RE2 (DuckDB) — the token_stats_bpe convention. Counts
+    # are detections on the RAW text per category; redaction applies
+    # email -> phone -> key sequentially (identical order both engines).
+    # Scale shape: one narrow projection, zero shuffles, whole-stage
+    # codegen end to end.
+    pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    pii_phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+    pii_key = "(sk|key|tok)-[A-Za-z0-9]{16,}|[A-Fa-f0-9]{32,}"
+
+    def _re_count(col, pat):
+        if e == "s":
+            return f"size(regexp_extract_all({col}, '{pat}', 0))"
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+
+    def _re_redact(col, pat, repl):
+        if e == "s":
+            return f"regexp_replace({col}, '{pat}', '{repl}')"
+        return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+
+    redacted = _re_redact(
+        _re_redact(_re_redact("text", pii_email, "<EMAIL>"),
+                   pii_phone, "<PHONE>"),
+        pii_key, "<KEY>")
+    q["pii_scrub"] = f"""
+        SELECT doc_id,
+               CAST({_re_count('text', pii_email)} AS BIGINT) AS n_emails,
+               CAST({_re_count('text', pii_phone)} AS BIGINT) AS n_phones,
+               CAST({_re_count('text', pii_key)} AS BIGINT) AS n_keys,
+               md5({redacted}) AS redacted_md5
+        FROM documents
     """
 
     # KMV (k-minimum-values) distinct sketch over event users — the
@@ -1065,7 +1186,8 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     from t2p_spark.session import session_key
 
     skey = session_key(spark)
-    if name != "dedup_exact":  # dedup_exact hashes raw text, no tokens
+    # dedup_exact and pii_scrub work on raw text, no token views needed
+    if name not in ("dedup_exact", "pii_scrub"):
         ensure_documents_tok(spark)
     if name in ("dedup_minhash_lsh", "split_leakage"):
         spark.sql(_minhash_select("s", n_minhash)) \
