@@ -943,6 +943,54 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                     THEN 'contaminated' ELSE 'clean' END AS verdict
         FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
     """
+
+    # End-to-end curation pipeline: corpus_filter -> repetition gate ->
+    # contamination gate -> near-dup keep-list -> stratified split,
+    # composed from the operator CTEs above (so the stages share the one
+    # cached documents_tok scan on the Spark side) and reported as a
+    # per-stage attrition table — the survivorship funnel a 100-TB
+    # curation run monitors. Gate semantics: a doc passes a gate unless
+    # that stage explicitly flags it (docs with no flag row pass — the
+    # repetition/contamination/keep-list relations only cover flagged or
+    # clustered docs). The final stage reports the kept set per split.
+    # Oracle = the identical composition of the DuckDB twins.
+    q["curate_attrition"] = f"""
+        WITH cf AS ({q['corpus_filter']}),
+        rep AS ({q['repetition_stats']}),
+        cont AS ({q['contamination_check']}),
+        keepl AS ({q['dedup_keep_list']}),
+        spl AS ({q['sample_split']}),
+        s1 AS (SELECT doc_id FROM cf WHERE verdict = 'keep'),
+        s2 AS (
+          SELECT doc_id FROM s1
+          WHERE NOT EXISTS (SELECT 1 FROM rep r
+                            WHERE r.doc_id = s1.doc_id
+                              AND r.verdict <> 'ok')
+        ),
+        s3 AS (
+          SELECT doc_id FROM s2
+          WHERE NOT EXISTS (SELECT 1 FROM cont c
+                            WHERE c.doc_id = s2.doc_id
+                              AND c.verdict = 'contaminated')
+        ),
+        s4 AS (
+          SELECT doc_id FROM s3
+          WHERE NOT EXISTS (SELECT 1 FROM keepl k
+                            WHERE k.doc_id = s3.doc_id
+                              AND k.decision = 'drop')
+        )
+        SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        UNION ALL SELECT '1_corpus_filter', CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_repetition', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_contamination', CAST(COUNT(*) AS BIGINT) FROM s3
+        UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
+        UNION ALL
+        SELECT concat('5_split_', spl.split) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM s4 JOIN spl ON spl.doc_id = s4.doc_id
+        GROUP BY spl.split
+    """
     return q
 
 
@@ -1001,7 +1049,7 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     if name == "dedup_components":
         return dedup_components(spark)
-    if name == "dedup_keep_list":
+    if name in ("dedup_keep_list", "curate_attrition"):
         # materialize the iterative CC labels for the decision query
         dedup_components(spark).createOrReplaceTempView("cc_mat")
     prepare_textkit_views(spark, name)

@@ -552,3 +552,19 @@ def test_pii_scrub_planted(spark):
                     r["redacted_md5"]) == tuple(want[d][1:]), d
     finally:
         _restore_views(spark)
+
+
+def test_curate_attrition_funnel(spark):
+    """The composed curation pipeline's attrition funnel is coherent:
+    counts never increase across sequential gates, and the final split
+    counts partition the kept set exactly."""
+    from t2p_spark.textkit import run_textkit
+
+    rows = {r["stage"]: r["n_docs"] for r in run_textkit(
+        spark, "/root/testdata/sf0.001", "curate_attrition").collect()}
+    funnel = [rows["0_input"], rows["1_corpus_filter"], rows["2_repetition"],
+              rows["3_contamination"], rows["4_near_dedup"]]
+    assert funnel == sorted(funnel, reverse=True), funnel
+    assert funnel[0] > 0 and funnel[-1] > 0
+    split_total = sum(v for k, v in rows.items() if k.startswith("5_split_"))
+    assert split_total == rows["4_near_dedup"], rows
