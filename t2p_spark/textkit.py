@@ -9,7 +9,13 @@ not hoped for:
   - hex->int via CONV/CAST produces the same unsigned 32-bit values,
   - folds are sequential in both engines (Spark AGGREGATE, DuckDB
     list_reduce), integer arithmetic throughout,
-  - float ratios are computed from exact integers and rounded at the end.
+  - NO float reaches a ranked or compared output (r4): every
+    score/ratio is emitted as an exact x1e6 BIGINT, via pure integer
+    division where the inputs are integers (jaccard, stopword ratio,
+    lm_score means) or FLOOR-quantization where a log is involved
+    (tfidf, bm25 per-term, lm vocab) — the fuzz suite caught Spark and
+    DuckDB ROUND(double, 6) disagreeing by one ulp at a boundary, so
+    ROUND is banned from outputs entirely.
 
 Scale notes: every operator is a scan + narrow transform or a single
 shuffle (groupBy/join on an explicit key). LSH candidate generation uses
@@ -352,12 +358,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
           GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b,
-               ROUND(CAST(n_common AS DOUBLE) /
-                     (sa.n + sb.n - n_common), 6) AS jaccard
+               CAST({_idiv('n_common * 1000000', 'sa.n + sb.n - n_common', e)}
+                    AS BIGINT) AS jaccard_x1e6
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+        WHERE 5 * n_common >= sa.n + sb.n - n_common
     """
 
     # sequence-level (substring) dedup — the dominant real-world dedup
@@ -448,9 +454,9 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                     WHEN avg_len_x100 > 650 THEN 'long_token'
                     ELSE 'other' END AS lang_pred,
                CAST(n_tok AS BIGINT) AS n_tokens,
-               ROUND(CASE WHEN n_tok = 0 THEN 0.0
-                          ELSE CAST(stop_cnt AS DOUBLE) / n_tok END, 6)
-                 AS stopword_ratio
+               CAST(CASE WHEN n_tok = 0 THEN 0
+                         ELSE {_idiv('stop_cnt * 1000000', 'n_tok', e)}
+                    END AS BIGINT) AS stopword_x1e6
         FROM (
           SELECT doc_id,
                  {_asize("toks", e)} AS n_tok,
@@ -472,12 +478,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                CAST(n_tok AS BIGINT) AS n_tokens,
                CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
                CAST(n_punct AS BIGINT) AS n_punct,
-               ROUND(CASE WHEN n_tok = 0 THEN 0.0 ELSE
+               CAST(FLOOR((CASE WHEN n_tok = 0 THEN 0.0 ELSE
                  (CAST(n_distinct AS DOUBLE) / n_tok) *
                  (CASE WHEN n_tok >= 20 THEN 1.0 ELSE n_tok / 20.0 END) *
                  (1.0 - CAST(n_punct AS DOUBLE) /
                         (CAST(n_chars AS DOUBLE) + 1.0))
-               END, 6) AS quality
+               END) * 1000000.0) AS BIGINT) AS quality_x1e6
         FROM (
           SELECT doc_id, n_chars,
                  {_asize("toks", e)} AS n_tok,
@@ -677,15 +683,16 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.tok,
-                 ROUND(tf * LN(n.n_docs / df.df), 6) AS tfidf
+                 CAST(FLOOR(tf * LN(n.n_docs / df.df) * 1000000.0)
+                      AS BIGINT) AS tfidf_x1e6
           FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
         )
-        SELECT doc_id, tok, tfidf,
+        SELECT doc_id, tok, tfidf_x1e6,
                CAST(rnk AS BIGINT) AS rnk
         FROM (
-          SELECT doc_id, tok, tfidf,
+          SELECT doc_id, tok, tfidf_x1e6,
                  ROW_NUMBER() OVER (
-                   PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                   PARTITION BY doc_id ORDER BY tfidf_x1e6 DESC, tok
                  ) AS rnk
           FROM scored
         ) r WHERE rnk <= 3
@@ -786,7 +793,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # doc in a near-dup cluster gets keep/drop, keeping the HIGHEST-quality
     # member (not the min doc_id — quality-aware survivor selection is the
     # production rule). Composes connected components x quality_score;
-    # ranking is on the ROUNDED quality (parity-stable) with doc_id
+    # ranking is on the exact-integer quality_x1e6 with doc_id
     # tie-break. Spark reads cc_mat (materialized by run_textkit via the
     # iterative CC); the oracle inlines the recursive-CTE walk. Scale
     # shape: two joins on doc_id + one per-cluster window (WindowGroupLimit
@@ -815,14 +822,14 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         WITH comps AS ({cc_src}),
         qual AS ({q['quality_score']}),
         ranked AS (
-          SELECT c.doc_id, c.cluster_rep, qu.quality,
+          SELECT c.doc_id, c.cluster_rep, qu.quality_x1e6,
                  ROW_NUMBER() OVER (
                    PARTITION BY c.cluster_rep
-                   ORDER BY qu.quality DESC, c.doc_id
+                   ORDER BY qu.quality_x1e6 DESC, c.doc_id
                  ) AS rnk
           FROM comps c JOIN qual qu ON qu.doc_id = c.doc_id
         )
-        SELECT doc_id, cluster_rep, quality,
+        SELECT doc_id, cluster_rep, quality_x1e6,
                CASE WHEN rnk = 1 THEN 'keep' ELSE 'drop' END AS decision
         FROM ranked
     """

@@ -61,8 +61,8 @@ def test_jaccard_hot_shingle_capped(spark):
         # near-dup pair survives with jaccard over the capped vocabulary
         pairs = {(r["doc_a"], r["doc_b"]) for r in got}
         assert pairs == {(1000, 1001)}
-        (j,) = [r["jaccard"] for r in got]
-        assert abs(j - round(5 / 6, 6)) < 1e-9
+        (j,) = [r["jaccard_x1e6"] for r in got]
+        assert j == 5_000_000 // 6  # exact integer division, no float
     finally:
         _restore_views(spark)
 
