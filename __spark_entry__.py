@@ -383,6 +383,14 @@ _PRIORITY_R4 = [
     "pii_scrub",
     "curate_attrition",
     "events_rolling_7d_users",  # re-verify after the linear-work rewrite
+    # output schema changed this round (integer-exact scores) — the r3
+    # driver rows attested the OLD columns; re-attest the new ones
+    "quality_score",
+    "tfidf_top_terms",
+    "bm25_search",
+    "dedup_keep_list",
+    "ngram_jaccard_pairs",
+    "lang_id",
 ]
 
 

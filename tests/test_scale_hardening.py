@@ -298,21 +298,20 @@ def test_textkit_presets_keep_twin_parity(spark):
 
     sf = "/root/testdata/sf0.001"
     register_views(spark, sf)
-    preset = dict(n_minhash=4, simhash_bands=6, jaccard_max_df=8)
+    preset = dict(n_minhash=4, simhash_bands=6, jaccard_max_df=8,
+                  substr_n=3, substr_min_df=3)
     sq = spark_sql_queries(**preset)
     dq = duckdb_oracle_queries(**preset)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     for name in ("minhash_signatures", "dedup_minhash_lsh",
-                 "simhash_neardup_pairs", "ngram_jaccard_pairs"):
+                 "simhash_neardup_pairs", "ngram_jaccard_pairs",
+                 "substring_dedup"):
         prepare_textkit_views(spark, name, n_minhash=preset["n_minhash"])
         sdf = spark.sql(sq[name])
         got = sorted(tuple(r) for r in sdf.collect())
         want = sorted(tuple(r) for r in con.sql(dq[name]).fetchall())
-        # float jaccard: canonicalize
-        canon = lambda rows: [tuple(round(v, 6) if isinstance(v, float)
-                                    else v for v in r) for r in rows]
-        assert canon(got) == canon(want), name
+        assert got == want, name
 
 
 def test_dedup_components_long_chain_log_rounds(spark):
