@@ -382,6 +382,8 @@ _PRIORITY_R4 = [
     "substring_dedup",
     "pii_scrub",
     "curate_attrition",
+    "chunk_documents",
+    "seq_pack_stats",
     "events_rolling_7d_users",  # re-verify after the linear-work rewrite
     # output schema changed this round (integer-exact scores) — the r3
     # driver rows attested the OLD columns; re-attest the new ones

@@ -116,6 +116,13 @@ JACCARD_MAX_DF = 64
 # Language Models Better") — both twins derive from the same knob.
 SUBSTR_N = 5
 SUBSTR_MIN_DF = 2
+# training-chunk explode: window length / stride in tokens (a web corpus
+# would use ~2048/~2048-overlap; small values keep the oracle corpus
+# multi-chunk). seq packing: the fixed training-sequence length for the
+# concatenate-and-chunk packing accounting.
+CHUNK_C = 24
+CHUNK_STRIDE = 16
+PACK_LEN = 256
 
 
 def _tok_source(engine: str) -> str:
@@ -570,6 +577,86 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                CAST({_re_count('text', pii_key)} AS BIGINT) AS n_keys,
                md5({redacted}) AS redacted_md5
         FROM documents
+    """
+
+    # training-chunk explode: split each doc into fixed-length token
+    # windows with stride (the doc -> training-sample step of a pretraining
+    # pipeline; at web scale ~2048/2048, here {CHUNK_C}/{CHUNK_STRIDE}).
+    # Scale shape: one narrow explode per doc — output is O(n_tokens /
+    # stride) rows, no shuffle until a downstream consumer groups. Engine
+    # forks: posexplode vs parallel unnest for (chunk_idx, start); slice
+    # vs list_slice for the window.
+    if e == "s":
+        chunk_rows = f"""
+            SELECT doc_id, ci AS chunk_idx, s AS start,
+                   slice(toks, s, {CHUNK_C}) AS chunk
+            FROM (SELECT doc_id, toks,
+                         CASE WHEN size(toks) = 0
+                              THEN CAST(array() AS ARRAY<INT>)
+                              ELSE sequence(1, size(toks), {CHUNK_STRIDE})
+                         END AS starts
+                  FROM documents_tok) t
+            LATERAL VIEW posexplode(starts) sp AS ci, s"""
+    else:
+        chunk_rows = f"""
+            SELECT doc_id,
+                   unnest(generate_series(0,
+                     len(starts) - 1)) AS chunk_idx,
+                   unnest(starts) AS start,
+                   unnest(list_transform(starts,
+                     s -> list_slice(toks, s, s + {CHUNK_C - 1}))) AS chunk
+            FROM (SELECT doc_id, toks,
+                         CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+                              ELSE generate_series(1, len(toks),
+                                                   {CHUNK_STRIDE})
+                         END AS starts
+                  FROM {tok_src} t0) t"""
+    chunk_text = ("concat_ws(' ', chunk)" if e == "s"
+                  else "array_to_string(chunk, ' ')")
+    q["chunk_documents"] = f"""
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST({_asize('chunk', e)} AS BIGINT) AS n_chunk_tokens,
+               md5({chunk_text}) AS chunk_md5
+        FROM ({chunk_rows}) c
+    """
+
+    # concatenate-and-chunk sequence-packing accounting: docs stream into
+    # fixed {PACK_LEN}-token training sequences per source in doc_id order
+    # (the standard GPT-style packing); reports per-source sequence counts,
+    # tail waste, and how many docs straddle a sequence boundary (the
+    # attention-fragmentation metric). One window cumsum partitioned by
+    # source + one groupBy — utilization is emitted as an exact x1e6
+    # integer ({_idiv('a', 'b', e)}-style, no float).
+    q["seq_pack_stats"] = f"""
+        WITH sized AS (
+          SELECT doc_id, source, CAST({_asize('toks', e)} AS BIGINT) AS n_tok
+          FROM {tok_src} tp
+          WHERE {_asize('toks', e)} > 0
+        ),
+        cum AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_end
+          FROM sized
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST({_idiv('SUM(n_tok) + ' + str(PACK_LEN - 1),
+                           str(PACK_LEN), e)} AS BIGINT) AS n_sequences,
+               CAST(SUM(CASE WHEN {_idiv('cum_end - n_tok',
+                                         str(PACK_LEN), e)}
+                             <> {_idiv('cum_end - 1', str(PACK_LEN), e)}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+               CAST({_idiv('SUM(n_tok) * 1000000',
+                           '(' + _idiv('SUM(n_tok) + ' + str(PACK_LEN - 1),
+                                       str(PACK_LEN), e)
+                           + ') * ' + str(PACK_LEN), e)} AS BIGINT)
+                 AS utilization_x1e6
+        FROM cum
+        GROUP BY source
     """
 
     # KMV (k-minimum-values) distinct sketch over event users — the

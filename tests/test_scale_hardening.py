@@ -567,3 +567,50 @@ def test_curate_attrition_funnel(spark):
     assert funnel[0] > 0 and funnel[-1] > 0
     split_total = sum(v for k, v in rows.items() if k.startswith("5_split_"))
     assert split_total == rows["4_near_dedup"], rows
+
+
+def test_chunk_and_pack_planted(spark):
+    """Training-chunk explode: a 40-token doc at C=24/stride=16 yields
+    chunks of 24/24/8 at starts 1/17/33; an empty doc yields none; the
+    packing accounting reports exact sequence counts, tail utilization,
+    and boundary-straddling docs for a hand-computable corpus."""
+    import hashlib
+
+    toks40 = [f"t{i:02d}" for i in range(40)]
+    rows = [
+        (1, "a", 0, " ".join(toks40)),        # 40 tokens
+        (2, "a", 0, ""),                       # empty: no chunks, no pack
+        (3, "b", 0, " ".join(f"w{i}" for i in range(250))),  # 250 tokens
+        (4, "b", 0, " ".join(f"v{i}" for i in range(10))),   # straddles 256
+    ]
+    try:
+        _swap_documents_view(spark, rows)
+        textkit.prepare_textkit_views(spark, "chunk_documents")
+        chunks = {(r["doc_id"], r["chunk_idx"]): r for r in spark.sql(
+            textkit.spark_sql_queries()["chunk_documents"]).collect()}
+        assert [(d, i) for (d, i) in sorted(chunks) if d == 1] == \
+            [(1, 0), (1, 1), (1, 2)]
+        assert [chunks[(1, i)]["n_chunk_tokens"] for i in range(3)] == \
+            [24, 24, 8]
+
+        def h(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        assert chunks[(1, 0)]["chunk_md5"] == h(" ".join(toks40[0:24]))
+        assert chunks[(1, 1)]["chunk_md5"] == h(" ".join(toks40[16:40]))
+        assert chunks[(1, 2)]["chunk_md5"] == h(" ".join(toks40[32:40]))
+        assert not any(d == 2 for (d, _) in chunks)
+
+        pack = {r["source"]: r for r in spark.sql(
+            textkit.spark_sql_queries()["seq_pack_stats"]).collect()}
+        # source a: 40 tokens -> 1 sequence of 256, utilization 40/256
+        assert (pack["a"]["n_docs"], pack["a"]["total_tokens"],
+                pack["a"]["n_sequences"]) == (1, 40, 1)
+        assert pack["a"]["utilization_x1e6"] == 40 * 1_000_000 // 256
+        # source b: docs 3 (250) then 4 (10): doc 4 spans tokens 251-260,
+        # straddling the 256 boundary -> 2 sequences, 1 boundary doc
+        assert (pack["b"]["n_docs"], pack["b"]["total_tokens"],
+                pack["b"]["n_sequences"], pack["b"]["n_boundary_docs"]) == \
+            (2, 260, 2, 1)
+    finally:
+        _restore_views(spark)

@@ -33,6 +33,7 @@ FUZZED = [
     "token_stats_bpe", "doc_fingerprint", "corpus_filter", "sample_split",
     "repetition_stats", "contamination_check", "minhash_signatures",
     "lm_score", "substring_dedup", "pii_scrub",
+    "chunk_documents", "seq_pack_stats",
     "dedup_minhash_lsh", "simhash_clusters", "simhash_neardup_pairs",
     "ngram_jaccard_pairs", "split_leakage",
 ]
