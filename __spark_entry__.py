@@ -384,6 +384,9 @@ _PRIORITY_R4 = [
     "curate_attrition",
     "chunk_documents",
     "seq_pack_stats",
+    "embedding_sq8",
+    "top_terms_by_source",
+    "source_overlap_matrix",
     "events_rolling_7d_users",  # re-verify after the linear-work rewrite
     # output schema changed this round (integer-exact scores) — the r3
     # driver rows attested the OLD columns; re-attest the new ones

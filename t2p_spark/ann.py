@@ -550,6 +550,55 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
         SELECT query_id, neighbor_id, cosine, rank
         FROM ranked WHERE rank <= {TOP_K}
     """
+
+    # SQ8 scalar quantization — the storage-compression step of a vector
+    # index (FAISS SQ8 shape): per-dimension [min, max] over the corpus,
+    # each component coded to 0..255, with per-vector reconstruction
+    # error. All in the quantized-integer domain: codes via exact integer
+    # division, reconstruction likewise, err2 an exact bigint sum — no
+    # float anywhere. Scale shape: positional explode -> per-dim min/max
+    # (64-row relation, broadcast back) -> one groupBy per vec_id; the
+    # dim-stats join is the textbook tiny-dim broadcast.
+    div = (lambda a, b: f"(({a}) DIV ({b}))") if engine == "s" else \
+          (lambda a, b: f"(({a}) // ({b}))")
+    if engine == "s":
+        sq_explode = (f"SELECT vec_id, posexplode({_ivf_qe('embedding', 's')})"
+                      f" AS (idx, comp) FROM embeddings")
+        codes_md5 = ("md5(concat_ws(',', transform("
+                     "array_sort(collect_list(struct(idx, code))), "
+                     "s -> CAST(s.code AS STRING))))")
+    else:
+        sq_explode = (
+            f"SELECT vec_id, unnest(range(len(qe))) AS idx, unnest(qe) AS comp"
+            f" FROM (SELECT vec_id, {_ivf_qe('embedding', 'd')} AS qe"
+            f" FROM embeddings) qz")
+        codes_md5 = "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY idx))"
+    q["embedding_sq8"] = f"""
+        WITH ex AS ({sq_explode}),
+        stats AS (
+          SELECT idx, CAST(MIN(comp) AS BIGINT) AS lo,
+                 CAST(MAX(comp) AS BIGINT) AS hi
+          FROM ex GROUP BY idx
+        ),
+        coded AS (
+          SELECT ex.vec_id, ex.idx, ex.comp, s.lo, s.hi,
+                 CASE WHEN s.hi = s.lo THEN 0
+                      ELSE {div('(ex.comp - s.lo) * 255', 's.hi - s.lo')}
+                 END AS code
+          FROM ex JOIN stats s ON s.idx = ex.idx
+        ),
+        recon AS (
+          SELECT vec_id, idx, code,
+                 comp - (lo + CASE WHEN hi = lo THEN 0
+                                   ELSE {div('code * (hi - lo)', '255')}
+                              END) AS resid
+          FROM coded
+        )
+        SELECT vec_id,
+               CAST(SUM(resid * resid) AS BIGINT) AS err2,
+               {codes_md5} AS codes_md5
+        FROM recon GROUP BY vec_id
+    """
     return q
 
 

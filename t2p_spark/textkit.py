@@ -1038,6 +1038,46 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
     """
 
+    # per-source top terms — the corpus-statistics pass before tokenizer
+    # training / mixture design: term counts per source, top-5 by count
+    # with term tie-break. One groupBy + one WindowGroupLimit-capped
+    # window; the shape of events_key_skew for text.
+    src_explode = (f"SELECT source, explode(toks) AS tok FROM {tok_src}"
+                   if e == "s" else
+                   f"SELECT source, unnest(toks) AS tok FROM {tok_src} su")
+    q["top_terms_by_source"] = f"""
+        WITH tok AS ({src_explode}),
+        tf AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY source, tok
+        )
+        SELECT source, tok, cnt, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT source, tok, cnt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY cnt DESC, tok
+                 ) AS rnk
+          FROM tf
+        ) r WHERE rnk <= 5
+    """
+
+    # source-level near-dup overlap matrix — which sources duplicate each
+    # other (the mixture-design diagnostic: a source pair with heavy
+    # near-dup overlap double-counts its weight). Composes the MinHash-LSH
+    # candidate pairs (band equi-join, never all-pairs) with two source
+    # lookups; symmetric pairs canonicalized by LEAST/GREATEST.
+    q["source_overlap_matrix"] = f"""
+        WITH pairs AS ({q['dedup_minhash_lsh']}),
+        s AS (SELECT doc_id, source FROM documents)
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN s sa ON sa.doc_id = p.doc_a
+        JOIN s sb ON sb.doc_id = p.doc_b
+        GROUP BY LEAST(sa.source, sb.source), GREATEST(sa.source, sb.source)
+    """
+
     # End-to-end curation pipeline: corpus_filter -> repetition gate ->
     # contamination gate -> near-dup keep-list -> stratified split,
     # composed from the operator CTEs above (so the stages share the one
@@ -1331,7 +1371,8 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     # dedup_exact and pii_scrub work on raw text, no token views needed
     if name not in ("dedup_exact", "pii_scrub"):
         ensure_documents_tok(spark)
-    if name in ("dedup_minhash_lsh", "split_leakage"):
+    if name in ("dedup_minhash_lsh", "split_leakage",
+                "source_overlap_matrix"):
         spark.sql(_minhash_select("s", n_minhash)) \
             .createOrReplaceTempView("sigs_mat")
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):

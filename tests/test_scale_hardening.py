@@ -614,3 +614,40 @@ def test_chunk_and_pack_planted(spark):
             (2, 260, 2, 1)
     finally:
         _restore_views(spark)
+
+
+def test_embedding_sq8_numpy_replay(spark):
+    """SQ8 scalar quantization: per-dim [min,max] -> 0..255 codes ->
+    integer reconstruction; the per-vector squared error and code digests
+    must equal an exact numpy integer replay of the same rule on the real
+    embeddings table."""
+    import hashlib
+
+    import numpy as np
+
+    from t2p_spark.ann import run_ann
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r for r in run_ann(spark, sf, "embedding_sq8")
+           .collect()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qe = np.floor(emb * 1000).astype(np.int64)
+    lo, hi = qe.min(axis=0), qe.max(axis=0)
+    rng = hi - lo
+    safe = np.where(rng == 0, 1, rng)
+    code = np.where(rng == 0, 0, (qe - lo) * 255 // safe)
+    recon = lo + np.where(rng == 0, 0, code * rng // 255)
+    err2 = ((qe - recon) ** 2).sum(axis=1)
+    for i, vid in enumerate(ids):
+        assert got[vid]["err2"] == err2[i], vid
+        want_md5 = hashlib.md5(
+            ",".join(str(int(c)) for c in code[i]).encode()).hexdigest()
+        assert got[vid]["codes_md5"] == want_md5, vid
+    # quantization must be lossy-but-bounded: max per-dim residual is
+    # ceil(range/255), so err2 <= dims * (range/255 + 1)^2
+    bound = ((rng / 255 + 1) ** 2).sum()
+    assert max(err2) <= bound

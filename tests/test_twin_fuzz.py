@@ -33,9 +33,9 @@ FUZZED = [
     "token_stats_bpe", "doc_fingerprint", "corpus_filter", "sample_split",
     "repetition_stats", "contamination_check", "minhash_signatures",
     "lm_score", "substring_dedup", "pii_scrub",
-    "chunk_documents", "seq_pack_stats",
+    "chunk_documents", "seq_pack_stats", "top_terms_by_source",
     "dedup_minhash_lsh", "simhash_clusters", "simhash_neardup_pairs",
-    "ngram_jaccard_pairs", "split_leakage",
+    "ngram_jaccard_pairs", "split_leakage", "source_overlap_matrix",
 ]
 
 WORDS = ["the", "a", "spark", "join", "merge", "x1", "9", "zz",
