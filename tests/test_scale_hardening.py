@@ -651,3 +651,31 @@ def test_embedding_sq8_numpy_replay(spark):
     # ceil(range/255), so err2 <= dims * (range/255 + 1)^2
     bound = ((rng / 255 + 1) ** 2).sum()
     assert max(err2) <= bound
+
+
+def test_register_views_sf_swap_not_stale(spark):
+    """r3 ADVICE (medium): register_views must re-register on an A->B->A
+    sf_dir swap — keying idempotency on (session, sf_dir) left the temp
+    views pointing at B while the memo claimed A. The fix keys on the
+    session's LAST sf_dir; each swap must serve the right tables and bump
+    the cache generation."""
+    from t2p_spark import relational
+    from t2p_spark.relational import VIEW_GENERATION, register_views
+    from t2p_spark.session import session_key
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    try:
+        register_views(spark, a)
+        n_a = spark.table("orders").count()
+        gen0 = VIEW_GENERATION[session_key(spark)]
+        register_views(spark, b)
+        n_b = spark.table("orders").count()
+        assert n_b != n_a  # different scale factors
+        register_views(spark, a)  # the A->B->A swap
+        assert spark.table("orders").count() == n_a
+        assert VIEW_GENERATION[session_key(spark)] == gen0 + 2
+        # same-dir re-registration stays memoized (no generation bump)
+        register_views(spark, a)
+        assert VIEW_GENERATION[session_key(spark)] == gen0 + 2
+    finally:
+        relational._REGISTERED.pop(session_key(spark), None)
