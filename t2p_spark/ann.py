@@ -432,27 +432,42 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
     # on (label, idx) — map-side combine caps each task's shuffle
     # contribution at labels x DIM rows; the centroid itself is the
     # cluster-prototype every embedding pipeline materializes.
+    # The COMPARED output carries a scalar md5 digest of the centroid
+    # components, not the raw array: the correctness gate canonicalizes
+    # with pandas sort_values, which cannot sort list-valued columns
+    # (unhashable type — the one red row in CORRECTNESS_r04). The
+    # array-producing relation stays internal (_cent_arr) for
+    # embedding_outliers, which folds over the actual components.
     if engine == "s":
         cent_explode = (f"SELECT label, posexplode({_ivf_qe('embedding', 's')})"
                         f" AS (idx, comp) FROM embeddings")
         cent_rebuild = ("transform(array_sort(collect_list(struct(idx, val))),"
                         " s -> s.val)")
+        cent_md5 = ("md5(concat_ws(',', transform("
+                    "array_sort(collect_list(struct(idx, val))), "
+                    "s -> CAST(s.val AS STRING))))")
     else:
         cent_explode = (
             f"SELECT label, unnest(range(len(qe))) AS idx, unnest(qe) AS comp"
             f" FROM (SELECT label, {_ivf_qe('embedding', 'd')} AS qe"
             f" FROM embeddings) qz")
         cent_rebuild = "list(val ORDER BY idx)"
-    q["embedding_centroids"] = f"""
-        SELECT label, n_vecs, {cent_rebuild} AS centroid_q
-        FROM (
+        cent_md5 = "md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY idx))"
+    cent_by_dim = f"""
           SELECT label, idx,
                  CAST(FLOOR(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT)
                    AS val,
                  CAST(COUNT(*) AS BIGINT) AS n_vecs
           FROM ({cent_explode}) ex
           GROUP BY label, idx
-        ) m GROUP BY label, n_vecs
+    """
+    _cent_arr = f"""
+        SELECT label, n_vecs, {cent_rebuild} AS centroid_q
+        FROM ({cent_by_dim}) m GROUP BY label, n_vecs
+    """
+    q["embedding_centroids"] = f"""
+        SELECT label, n_vecs, {cent_md5} AS centroid_md5
+        FROM ({cent_by_dim}) m GROUP BY label, n_vecs
     """
 
     # embedding outlier flags — the data-cleaning pass that drops vectors
@@ -476,7 +491,7 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
                  "i -> (e.qe[i] - c.centroid_q[i]) "
                  "* (e.qe[i] - c.centroid_q[i]))) AS BIGINT)")
     q["embedding_outliers"] = f"""
-        WITH cent AS ({q['embedding_centroids']}),
+        WITH cent AS ({_cent_arr}),
         d AS (
           SELECT e.vec_id, e.label, {dist2} AS dist2
           FROM ({qz_src}) e JOIN cent c ON c.label = e.label

@@ -123,6 +123,16 @@ SUBSTR_MIN_DF = 2
 CHUNK_C = 24
 CHUNK_STRIDE = 16
 PACK_LEN = 256
+# shard writer: number of fixed output shards for the training-manifest
+# accounting. Assignment is a pure function of (doc_id, chunk_idx) — the
+# md5-derived 60-bit hash mod N_SHARDS — so shard contents are invariant
+# to cluster parallelism (a web corpus would use ~10k shards; 8 keeps the
+# oracle corpus multi-chunk-per-shard).
+N_SHARDS = 8
+# mixture reweighting exponent, in half-steps: alpha = MIX_ALPHA_X2 / 2.
+# 1 -> alpha 0.5 (sqrt temperature flattening, the multilingual-sampling
+# default); 2 -> alpha 1.0 (proportional, no reweighting).
+MIX_ALPHA_X2 = 1
 
 
 def _tok_source(engine: str) -> str:
@@ -216,7 +226,8 @@ def _simhash_expr(hashes: str, engine: str) -> str:
 
 def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
            jaccard_max_df: int = None, substr_n: int = None,
-           substr_min_df: int = None) -> dict:
+           substr_min_df: int = None, n_shards: int = None,
+           mix_alpha_x2: int = None) -> dict:
     e = engine
     q = {}
     tok_src = _tok_source(e)
@@ -229,6 +240,9 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     jac_cap = JACCARD_MAX_DF if jaccard_max_df is None else jaccard_max_df
     sub_n = SUBSTR_N if substr_n is None else substr_n
     sub_df = SUBSTR_MIN_DF if substr_min_df is None else substr_min_df
+    nsh = N_SHARDS if n_shards is None else n_shards
+    alpha_x2 = MIX_ALPHA_X2 if mix_alpha_x2 is None else mix_alpha_x2
+    assert alpha_x2 in (1, 2), "mixture alpha supported at 0.5 or 1.0"
 
     # exact dedup groups (hash-groupBy; one shuffle on the 128-bit key)
     q["dedup_exact"] = """
@@ -1125,6 +1139,136 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         FROM s4 JOIN spl ON spl.doc_id = s4.doc_id
         GROUP BY spl.split
     """
+
+    # Incremental curation funnel: identical output to curate_attrition,
+    # but consuming ALREADY-MATERIALIZED stage relations (cf_mat/rep_mat/
+    # cont_mat/keepl_mat/spl_mat temp views, built+cached once by
+    # prepare_textkit_views) instead of recomputing every gate inline —
+    # the shape a 100-TB curation run actually schedules: each gate is its
+    # own job writing a table, and the funnel report is a cheap join over
+    # those tables. The DuckDB twin IS the full composition (same rows by
+    # construction), so the driver row proves incremental == recompute.
+    if e == "s":
+        q["curate_attrition_incr"] = """
+        WITH s1 AS (SELECT doc_id FROM cf_mat WHERE verdict = 'keep'),
+        s2 AS (
+          SELECT doc_id FROM s1
+          WHERE NOT EXISTS (SELECT 1 FROM rep_mat r
+                            WHERE r.doc_id = s1.doc_id
+                              AND r.verdict <> 'ok')
+        ),
+        s3 AS (
+          SELECT doc_id FROM s2
+          WHERE NOT EXISTS (SELECT 1 FROM cont_mat c
+                            WHERE c.doc_id = s2.doc_id
+                              AND c.verdict = 'contaminated')
+        ),
+        s4 AS (
+          SELECT doc_id FROM s3
+          WHERE NOT EXISTS (SELECT 1 FROM keepl_mat k
+                            WHERE k.doc_id = s3.doc_id
+                              AND k.decision = 'drop')
+        )
+        SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        UNION ALL SELECT '1_corpus_filter', CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_repetition', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_contamination', CAST(COUNT(*) AS BIGINT) FROM s3
+        UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
+        UNION ALL
+        SELECT concat('5_split_', spl.split) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM s4 JOIN spl_mat spl ON spl.doc_id = s4.doc_id
+        GROUP BY spl.split
+        """
+    else:
+        q["curate_attrition_incr"] = q["curate_attrition"]
+
+    # Shard writer / training-manifest accounting: deterministic
+    # assignment of every training chunk to one of {nsh} fixed shards via
+    # the md5-derived 60-bit hash of (doc_id, chunk_idx) — a pure function
+    # of the data, so shard contents are invariant to cluster parallelism
+    # (pinned by pytest at two parallelism levels). Per shard: chunk
+    # count, token count, and two digests — content_md5, the exact
+    # order-canonical digest (sorted-struct fold / string_agg ORDER BY),
+    # and content_fp60, the ORDER-FREE mergeable bit_xor fingerprint,
+    # which is the 100-TB-correct digest (map-side combinable, no
+    # per-shard collect of all chunk hashes). Scale shape: one hash
+    # groupBy over the chunk stream; with ~10k shards each group is a
+    # bounded manifest row, and the actual shard WRITE would be
+    # df.repartition(nsh, shard_id).write — same assignment column.
+    _s = "STRING" if e == "s" else "VARCHAR"
+    shard_key = f"concat(CAST(doc_id AS {_s}), '#', CAST(chunk_idx AS {_s}))"
+    chunk_fp = _hash60(f"concat(chunk_md5, ':', {shard_key})", e)
+    if e == "s":
+        shard_md5 = ("md5(concat_ws(',', transform(array_sort("
+                     "collect_list(struct(doc_id, chunk_idx, chunk_md5))), "
+                     "s -> s.chunk_md5)))")
+    else:
+        shard_md5 = ("md5(string_agg(chunk_md5, ',' "
+                     "ORDER BY doc_id, chunk_idx))")
+    q["shard_manifest"] = f"""
+        WITH ch AS ({q['chunk_documents']}),
+        asg AS (
+          SELECT {_hash60(shard_key, e)} % {nsh} AS shard_id,
+                 doc_id, chunk_idx, n_chunk_tokens, chunk_md5,
+                 {chunk_fp} AS fp60
+          FROM ch
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens,
+               {shard_md5} AS content_md5,
+               CAST(BIT_XOR(fp60) AS BIGINT) AS content_fp60
+        FROM asg GROUP BY shard_id
+    """
+
+    # Mixture reweighting: per-source sampling weight w ∝ tokens^alpha
+    # (alpha = {alpha_x2}/2 — the temperature-flattening knob of
+    # multilingual/multi-source pretraining mixes) plus the effective
+    # post-reweight token allocation at the corpus's own token budget.
+    # Parity engineering: tokens^0.5 is computed as an EXACT integer
+    # floor(1000*sqrt(t)) — double SQRT seeds the value and one ±1
+    # integer correction makes it exact in both engines (the double error
+    # is < 1 everywhere below 2^63), so no float reaches the compared
+    # output; normalization uses exact integer division. Scale shape: the
+    # per-source relation is tiny (one row per source) — a single
+    # map-side-combined groupBy then scalar broadcast joins.
+    if alpha_x2 == 1:
+        x6 = "total_tokens * 1000000"
+        seed = f"CAST(FLOOR(SQRT(CAST({x6} AS DOUBLE))) AS BIGINT)"
+        w_raw = f"""
+          CASE WHEN (s0 + 1) * (s0 + 1) <= {x6} THEN s0 + 1
+               WHEN s0 * s0 > {x6} THEN s0 - 1
+               ELSE s0 END"""
+        wsrc = f"""
+          SELECT source, n_docs, total_tokens, {w_raw} AS w_raw
+          FROM (SELECT source, n_docs, total_tokens, {seed} AS s0
+                FROM src) sd"""
+    else:
+        wsrc = ("SELECT source, n_docs, total_tokens, "
+                "total_tokens * 1000 AS w_raw FROM src")
+    q["mixture_weights"] = f"""
+        WITH src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM({_asize('toks', e)}) AS BIGINT) AS total_tokens
+          FROM {tok_src} mw GROUP BY source
+        ),
+        wr AS ({wsrc}),
+        tot AS (
+          SELECT CAST(SUM(w_raw) AS BIGINT) AS sum_w,
+                 CAST(SUM(total_tokens) AS BIGINT) AS tot_tok
+          FROM wr
+        )
+        SELECT source, n_docs, total_tokens,
+               CAST(CASE WHEN t.sum_w = 0 THEN 0
+                         ELSE {_idiv('w_raw * 1000000', 't.sum_w', e)}
+                    END AS BIGINT) AS weight_x1e6,
+               CAST(CASE WHEN t.sum_w = 0 THEN 0
+                         ELSE {_idiv('t.tot_tok * w_raw', 't.sum_w', e)}
+                    END AS BIGINT) AS eff_tokens
+        FROM wr CROSS JOIN tot t
+    """
     return q
 
 
@@ -1183,7 +1327,8 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     if name == "dedup_components":
         return dedup_components(spark)
-    if name in ("dedup_keep_list", "curate_attrition"):
+    if name in ("dedup_keep_list", "curate_attrition",
+                "curate_attrition_incr"):
         # materialize the iterative CC labels for the decision query
         dedup_components(spark).createOrReplaceTempView("cc_mat")
     prepare_textkit_views(spark, name)
@@ -1361,6 +1506,44 @@ def dedup_components_oracle_sql() -> str:
     """
 
 
+_CURATION_STAGES = (
+    ("cf_mat", "corpus_filter"),
+    ("rep_mat", "repetition_stats"),
+    ("cont_mat", "contamination_check"),
+    ("keepl_mat", "dedup_keep_list"),
+    ("spl_mat", "sample_split"),
+)
+
+
+def materialize_curation_stages(spark: SparkSession) -> None:
+    """Materialize+cache each curation gate's output as its own relation —
+    the incremental schedule of a 100-TB curation run, where every gate is
+    a separate job writing a table and the funnel report only joins those
+    tables. Memoized per (session, view-generation) so repeated funnel
+    reports reuse the materialized stages; the local cache stands in for
+    the stage tables a cluster run would persist. Requires cc_mat (the CC
+    labels) to be registered first — run_textkit does this."""
+    from t2p_spark.relational import VIEW_GENERATION
+    from t2p_spark.session import session_key
+
+    skey = session_key(spark)
+    key = ("cur_stages", skey, VIEW_GENERATION.get(skey, 0))
+    if key in _TOK_CACHE:
+        return
+    for stale in [k for k in _TOK_CACHE
+                  if isinstance(k, tuple) and k[0] == "cur_stages"]:
+        for df in _TOK_CACHE.pop(stale):
+            df.unpersist()
+    sqls = spark_sql_queries()
+    mats = []
+    for view, qname in _CURATION_STAGES:
+        df = spark.sql(sqls[qname]).cache()
+        df.count()  # force: the stage table now exists, like a real run
+        df.createOrReplaceTempView(view)
+        mats.append(df)
+    _TOK_CACHE[key] = mats
+
+
 def prepare_textkit_views(spark: SparkSession, name: str,
                           n_minhash: int = None) -> None:
     """Materialize the helper views a textkit query reads, over whatever
@@ -1387,6 +1570,8 @@ def prepare_textkit_views(spark: SparkSession, name: str,
         ).cache()
         sh.createOrReplaceTempView("simhash_mat")
         _TOK_CACHE[("simhash_mat", skey)] = sh
+    elif name == "curate_attrition_incr":
+        materialize_curation_stages(spark)
     elif name == "ngram_jaccard_pairs":
         sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
         spark.sql(f"""

@@ -35,9 +35,11 @@ def _restore_views(spark):
     for k in [k for k in textkit._TOK_CACHE
               if (isinstance(k, tuple) and skey in k)]:
         df = textkit._TOK_CACHE.pop(k)
-        df.unpersist()
+        for d in (df if isinstance(df, list) else [df]):
+            d.unpersist()
     for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat",
-              "tok_mat"):
+              "tok_mat", "cf_mat", "rep_mat", "cont_mat", "keepl_mat",
+              "spl_mat", "cc_mat"):
         spark.catalog.dropTempView(v)
 
 
@@ -679,3 +681,94 @@ def test_register_views_sf_swap_not_stale(spark):
         assert VIEW_GENERATION[session_key(spark)] == gen0 + 2
     finally:
         relational._REGISTERED.pop(session_key(spark), None)
+
+
+def test_shard_manifest_invariant_to_parallelism(spark):
+    """Shard assignment is a pure function of (doc_id, chunk_idx) — the
+    manifest (counts, token totals, BOTH digests) must be byte-identical
+    whether the input arrives as 1 partition or 13 (the stand-in for
+    "same answer on any cluster size"). The order-canonical content_md5
+    additionally pins that the sorted-struct fold defeats collect_list's
+    nondeterministic arrival order."""
+    rows = [
+        (i, "s%d" % (i % 3), 0, " ".join(f"w{i}t{j}" for j in range(5 + i)))
+        for i in range(40)
+    ]
+    try:
+        results = []
+        for nparts in (1, 13):
+            df = spark.createDataFrame(rows, DOCS_COLS).repartition(nparts)
+            df.createOrReplaceTempView("documents")
+            textkit.ensure_documents_tok(spark, force=True)
+            got = spark.sql(textkit.spark_sql_queries()["shard_manifest"])
+            results.append(sorted(tuple(r) for r in got.collect()))
+        assert results[0] == results[1]
+        assert sum(r[1] for r in results[0]) > 0  # chunks actually sharded
+    finally:
+        _restore_views(spark)
+
+
+def test_mixture_weights_exact_integer_sqrt(spark):
+    """mixture_weights' tokens^0.5 must be the EXACT floor(1000*sqrt(t))
+    (one ±1 correction over the double seed): replay the whole operator
+    with math.isqrt, including perfect-square boundaries (where a 1-ulp
+    double error would flip the floor) and an all-empty source (w=0)."""
+    import math
+
+    # per-source token totals: perfect squares (1, 4, 1_000_000 = 10^3
+    # squared exactly at the x1e6 scale), off-by-one neighbors, zero
+    totals = {"s0": 1, "s1": 4, "s2": 1000000, "s3": 999999, "s4": 0,
+              "s5": 1000001, "s6": 144}
+    rows = []
+    for i, (src, t) in enumerate(sorted(totals.items())):
+        rows.append((i, src, 0, " ".join(["tok"] * t) if t else ""))
+    try:
+        _swap_documents_view(spark, rows)
+        got = {r["source"]: r for r in
+               spark.sql(textkit.spark_sql_queries()["mixture_weights"])
+               .collect()}
+        w_raw = {s: math.isqrt(t * 10**6) for s, t in totals.items()}
+        sum_w = sum(w_raw.values())
+        tot_tok = sum(totals.values())
+        for s, t in totals.items():
+            assert got[s]["total_tokens"] == t, s
+            assert got[s]["weight_x1e6"] == w_raw[s] * 10**6 // sum_w, s
+            assert got[s]["eff_tokens"] == tot_tok * w_raw[s] // sum_w, s
+        # sqrt flattening: the small source gains share, the big one cedes
+        assert (got["s0"]["weight_x1e6"] * totals["s2"]
+                > got["s2"]["weight_x1e6"] * totals["s0"])
+    finally:
+        _restore_views(spark)
+
+
+def test_mixture_weights_all_empty_corpus(spark):
+    """sum_w = 0 (every doc tokenless) must yield zero weights, not a
+    divide-by-zero — and Spark/DuckDB disagree on x DIV 0 (NULL vs error),
+    so the guard is a parity requirement, not just robustness."""
+    rows = [(i, "s%d" % i, 0, "...") for i in range(3)]
+    try:
+        _swap_documents_view(spark, rows)
+        got = spark.sql(
+            textkit.spark_sql_queries()["mixture_weights"]).collect()
+        assert len(got) == 3
+        assert all(r["weight_x1e6"] == 0 and r["eff_tokens"] == 0
+                   for r in got)
+    finally:
+        _restore_views(spark)
+
+
+def test_curation_incremental_equals_recompute(spark):
+    """The incremental funnel (materialized stage views) must emit the
+    exact rows of the inline recompute — on the real sf0.001 tables, with
+    the stage caches populated via the production path (run_textkit)."""
+    sf = "/root/testdata/sf0.001"
+    full = sorted(tuple(r) for r in
+                  textkit.run_textkit(spark, sf, "curate_attrition")
+                  .collect())
+    incr = sorted(tuple(r) for r in
+                  textkit.run_textkit(spark, sf, "curate_attrition_incr")
+                  .collect())
+    assert full == incr
+    stages = {s for s, _ in ((r[0], r[1]) for r in full)}
+    assert "0_input" in stages and any(s.startswith("5_split_")
+                                       for s in stages)

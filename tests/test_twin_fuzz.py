@@ -36,6 +36,7 @@ FUZZED = [
     "chunk_documents", "seq_pack_stats", "top_terms_by_source",
     "dedup_minhash_lsh", "simhash_clusters", "simhash_neardup_pairs",
     "ngram_jaccard_pairs", "split_leakage", "source_overlap_matrix",
+    "shard_manifest", "mixture_weights",
 ]
 
 WORDS = ["the", "a", "spark", "join", "merge", "x1", "9", "zz",

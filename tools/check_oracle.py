@@ -46,6 +46,24 @@ def rowset(cols, rows):
     )
 
 
+def driver_canon_check(cols, rows):
+    """Replay the DRIVER's canonicalization mechanism verbatim.
+
+    The driver builds a pandas DataFrame and calls sort_values over all
+    columns (sorted by name) before hashing. pandas factorizes each sort
+    key into a Categorical, which raises ``unhashable type`` on list- or
+    dict-valued cells — exactly how embedding_centroids went red in
+    CORRECTNESS_r04 while this replica (which tuple-ized lists, i.e. was
+    LAXER than the driver) stayed green. Run the same pandas sort here so
+    any schema-shaped failure surfaces locally first. Raises on failure.
+    """
+    import pandas as pd
+
+    order = sorted(cols)
+    df = pd.DataFrame(list(rows), columns=list(cols))[order]
+    df.sort_values(by=order)  # raises like the driver on unhashable cells
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -101,6 +119,14 @@ def main() -> int:
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            n_fail += 1
+            continue
+        try:
+            driver_canon_check(scols, [tuple(r) for r in srows])
+            driver_canon_check(dcols, drows)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: driver-canon (pandas sort_values) raised "
+                  f"{type(exc).__name__}: {exc}")
             n_fail += 1
             continue
         a = rowset(scols, srows)
