@@ -357,50 +357,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver's correctness gate covers the FIRST 50 dict entries only
-# (CORRECTNESS_r03.json stopped at 50 of 63). Rotate operators that have
-# never had a driver-green row — plus anything newly added this round —
-# to the front of the dict; the long-stable rows (driver-green in r2/r3
-# AND pinned by pytest goldens/sweeps) cycle through the remaining window
-# slots across rounds.
-_PRIORITY_R4 = [
-    # never driver-checked (r3 tail, verified via tools/check_oracle.py)
-    "ann_topk_multiprobe",
-    "ann_topk_multitable",
+# (CORRECTNESS_r03.json stopped at 50 of 63). STANDING ROTATION RULE
+# (r4 VERDICT #3): (a) anything whose compared output changed this round
+# ALWAYS rotates into the window head, together with every newly added
+# query; (b) everything else alternates — a query attested in round N
+# may sit beyond the window in round N+1 but MUST be in the window in
+# round N+2, so no driver attestation is ever more than one round stale.
+# The window membership is mechanical from this list; run
+# `python tools/window_audit.py` to emit the committed audit artifact
+# (BENCH/window_r*.json) naming exactly which queries the driver will
+# and will not check this round, with each query's last attested round —
+# the coverage gap is thereby auditable, not silently chosen here.
+_PRIORITY_R5 = [
+    # compared output changed this round (array -> scalar digest)
     "embedding_centroids",
-    "embedding_outliers",
-    "events_sessionize_streamed",
-    "events_tumbling_streamed",
-    "events_stream_dedup",
-    "stream_neardup_screen",
-    # driver-green in r2 but dropped from r3's 50-row window
-    "embedding_buckets",
-    "ann_topk_brute",
-    "ann_topk_lsh",
-    "embedding_neardup",
-    "ann_topk_ivf",
     # new this round
-    "substring_dedup",
-    "pii_scrub",
-    "curate_attrition",
-    "chunk_documents",
-    "seq_pack_stats",
-    "embedding_sq8",
-    "top_terms_by_source",
-    "source_overlap_matrix",
-    "events_rolling_7d_users",  # re-verify after the linear-work rewrite
-    # output schema changed this round (integer-exact scores) — the r3
-    # driver rows attested the OLD columns; re-attest the new ones
-    "quality_score",
-    "tfidf_top_terms",
-    "bm25_search",
-    "dedup_keep_list",
-    "ngram_jaccard_pairs",
-    "lang_id",
+    "shard_manifest",
+    "mixture_weights",
+    "curate_attrition_incr",
+    # attested r3, beyond the r4 window — due under rule (b)
+    "events_props_stats",
+    "events_by_segment_salted",
+    "events_asof_order",
+    "events_value_bands",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_clusters",
+    "simhash_neardup_pairs",
+    "token_stats",
+    "token_stats_bpe",
+    "distinct_users_kmv",
+    "doc_fingerprint",
+    "corpus_filter",
+    "sample_split",
+    "split_leakage",
+    "stratified_sample",
+    "lm_score",
+    "repetition_stats",
+    "contamination_check",
+    "dedup_components",
 ]
 
 
 def _prioritize(out: dict) -> dict:
-    head = {n: out[n] for n in _PRIORITY_R4 if n in out}
+    missing = [n for n in _PRIORITY_R5 if n not in out]
+    # a typo'd priority name must fail loudly, not silently drop a query
+    # from the audit window (r4 ADVICE)
+    assert not missing, f"priority names absent from queries(): {missing}"
+    head = {n: out[n] for n in _PRIORITY_R5}
     head.update({n: f for n, f in out.items() if n not in head})
     return head
 

@@ -95,9 +95,9 @@ def main() -> int:
         dt = time.monotonic() - t0
         n = row["n"] or 0
         print(
-            f"extract run_id={args.run_id} docs={n} ok=0 quarantined=0 "
-            f"spans=0 wall={dt:.2f}s "
-            f"throughput={n / dt if dt else 0:.1f} docs/s"
+            f"extract[scan_only] run_id={args.run_id} docs={n} ok=0 "
+            f"quarantined=0 spans=0 wall={dt:.2f}s "
+            f"scan_docs_per_s={n / dt if dt else 0:.1f}"
         )
         spark.stop()
         return 0
@@ -113,7 +113,7 @@ def main() -> int:
         counts = {r["status"]: r["count"] for r in agg}
         docs_n = sum(counts.values())
         print(
-            f"extract run_id={args.run_id} docs={docs_n} "
+            f"extract[compute_only] run_id={args.run_id} docs={docs_n} "
             f"ok={counts.get('ok', 0)} "
             f"quarantined={counts.get('quarantined', 0)} spans=0 "
             f"wall={dt:.2f}s throughput={docs_n / dt if dt else 0:.1f} docs/s"
@@ -135,9 +135,9 @@ def main() -> int:
                         n_buckets=args.n_buckets, clustered=clustered)
         dt = time.monotonic() - t0
         print(
-            f"extract run_id={args.run_id} docs={n} ok=0 quarantined=0 "
-            f"spans=0 wall={dt:.2f}s "
-            f"throughput={n / dt if dt else 0:.1f} docs/s"
+            f"extract[no_metrics] run_id={args.run_id} docs={n} ok=0 "
+            f"quarantined=0 spans=0 wall={dt:.2f}s "
+            f"scan_docs_per_s={n / dt if dt else 0:.1f}"
         )
         spark.stop()
         return 0

@@ -60,6 +60,7 @@ QUERIES = [
     "lm_score", "dedup_keep_list", "media_phash_clusters",
     "events_cohort_retention", "stratified_sample",
     "events_rolling_7d_users", "events_key_skew", "embedding_outliers",
+    "shard_manifest", "mixture_weights", "curate_attrition_incr",
 ]
 
 

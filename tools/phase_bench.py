@@ -50,7 +50,8 @@ VARIANTS = {
 PHASES = ["read", "kernel", "write", "metrics"]
 
 
-def run_variant(corpus: str, cpus: int, tag: str, extra: list) -> float:
+def run_variant(corpus: str, cpus: int, tag: str, extra: list,
+                variant: str = "full") -> float:
     out_dir = f"/tmp/t2p_phase_{tag}_{cpus}"
     subprocess.run(["rm", "-rf", out_dir], check=True)
     subprocess.run(
@@ -71,10 +72,17 @@ def run_variant(corpus: str, cpus: int, tag: str, extra: list) -> float:
         "--max-partition-bytes", "16m",
     ] + extra
     proc = subprocess.run(cmd, capture_output=True, text=True, check=False)
-    m = re.search(r"wall=([\d.]+)s", proc.stdout)
+    # match the VARIANT-TAGGED summary line only (r4 ADVICE): a scan-only
+    # or no-metrics wall must never be ingested as a full-job figure, and
+    # vice versa — the job prints `extract[variant] ...` for partial
+    # variants and plain `extract ...` for the real job.
+    head = r"extract run_id=" if variant == "full" \
+        else rf"extract\[{variant}\] run_id="
+    m = re.search(head + r"\S*.*?wall=([\d.]+)s", proc.stdout)
     if not m:
         print(proc.stdout[-2000:], proc.stderr[-2000:])
-        raise SystemExit(f"no summary line from local[{cpus}] {extra}")
+        raise SystemExit(
+            f"no `{variant}` summary line from local[{cpus}] {extra}")
     subprocess.run(["rm", "-rf", out_dir], check=True)
     return float(m.group(1))
 
@@ -114,7 +122,8 @@ def main() -> int:
         for cpus in (lo, hi):
             walls = {}
             for name, extra in VARIANTS.items():
-                walls[name] = run_variant(corpus, cpus, f"r{rep}", extra)
+                walls[name] = run_variant(corpus, cpus, f"r{rep}", extra,
+                                          variant=name)
                 print(f"local[{cpus}] {name}: {walls[name]}s", flush=True)
             rec[str(cpus)] = {"variants": walls, "phases": phase_walls(walls)}
         pairs.append(rec)
@@ -142,13 +151,25 @@ def main() -> int:
     for ph in PHASES:
         wlo, whi = med(lo, ph), med(hi, ph)
         eff = (wlo / whi) / (hi // lo)
+        # per-pair spread alongside the median (r4 ADVICE): differential
+        # attribution is noise-dominated for the small phases — a reader
+        # must see when the range exceeds the phase size before trusting
+        # a per-phase conclusion
+        rng_lo = [p[str(lo)]["phases"][ph] for p in pairs]
+        rng_hi = [p[str(hi)]["phases"][ph] for p in pairs]
         summary["phase_medians"][ph] = {
             "lo_sec": wlo, "hi_sec": whi,
+            "lo_range": [min(rng_lo), max(rng_lo)],
+            "hi_range": [min(rng_hi), max(rng_hi)],
             "share_lo": round(wlo / full_lo, 3),
             "share_hi": round(whi / full_hi, 3),
             "efficiency": round(eff, 3),
+            "noise_dominated": (max(rng_lo) - min(rng_lo) > wlo
+                                or max(rng_hi) - min(rng_hi) > whi),
         }
-        print(f"| {ph} | {wlo:.1f} | {whi:.1f} | {wlo / full_lo:.0%} "
+        print(f"| {ph} | {wlo:.1f} ({min(rng_lo):.1f}-{max(rng_lo):.1f}) "
+              f"| {whi:.1f} ({min(rng_hi):.1f}-{max(rng_hi):.1f}) "
+              f"| {wlo / full_lo:.0%} "
               f"| {whi / full_hi:.0%} | {eff:.3f} |")
     print(f"| full | {full_lo:.1f} | {full_hi:.1f} | 100% | 100% | "
           f"{(full_lo / full_hi) / (hi // lo):.3f} |")
