@@ -108,6 +108,7 @@ def main() -> int:
      .mapInArrow(_warm, "n long").count())
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()
@@ -116,7 +117,21 @@ def main() -> int:
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # warm-up-isolated second run (r4 VERDICT #6): the first-run
+        # number absorbs whatever JIT/import/cache warm-up lands on the
+        # query's dict position, so cross-round >1.3x "regressions" were
+        # unadjudicable; the warm number is the position-independent one
+        # to compare across rounds. Streaming drains are excluded — a
+        # second drain replays stateful checkpoint machinery, not the
+        # query. (Warm curate_attrition_incr is also the incremental
+        # funnel-only cost, stages already materialized.)
+        if "_streamed" not in name and not name.startswith("stream_") \
+                and name != "events_stream_dedup":
+            t1 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            warm[name] = round(time.monotonic() - t1, 3)
+        print(f"# {name}: {dt:.3f}s (warm {warm.get(name, '-')}s, {n} rows)",
+              file=sys.stderr)
 
     # extraction throughput over a cached deterministic corpus
     n_docs = max(200, int(20000 * sf))
@@ -147,6 +162,7 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm_rerun": warm,
         "sf": sf,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / dt_extract, 2),

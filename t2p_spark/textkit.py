@@ -1327,9 +1327,12 @@ def run_textkit(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     if name == "dedup_components":
         return dedup_components(spark)
-    if name in ("dedup_keep_list", "curate_attrition",
-                "curate_attrition_incr"):
+    if name in ("dedup_keep_list", "curate_attrition"):
         # materialize the iterative CC labels for the decision query
+        # (curate_attrition_incr does NOT belong here: its CC labels are
+        # only needed while BUILDING the keep-list stage, which
+        # materialize_curation_stages does once — re-deriving CC on every
+        # funnel report would defeat the incremental schedule)
         dedup_components(spark).createOrReplaceTempView("cc_mat")
     prepare_textkit_views(spark, name)
     return spark.sql(spark_sql_queries()[name])
@@ -1521,8 +1524,9 @@ def materialize_curation_stages(spark: SparkSession) -> None:
     a separate job writing a table and the funnel report only joins those
     tables. Memoized per (session, view-generation) so repeated funnel
     reports reuse the materialized stages; the local cache stands in for
-    the stage tables a cluster run would persist. Requires cc_mat (the CC
-    labels) to be registered first — run_textkit does this."""
+    the stage tables a cluster run would persist. The CC labels (cc_mat)
+    are derived here once for the keep-list stage build — NOT per funnel
+    report."""
     from t2p_spark.relational import VIEW_GENERATION
     from t2p_spark.session import session_key
 
@@ -1534,6 +1538,7 @@ def materialize_curation_stages(spark: SparkSession) -> None:
                   if isinstance(k, tuple) and k[0] == "cur_stages"]:
         for df in _TOK_CACHE.pop(stale):
             df.unpersist()
+    dedup_components(spark).createOrReplaceTempView("cc_mat")
     sqls = spark_sql_queries()
     mats = []
     for view, qname in _CURATION_STAGES:
