@@ -1148,38 +1148,51 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # own job writing a table, and the funnel report is a cheap join over
     # those tables. The DuckDB twin IS the full composition (same rows by
     # construction), so the driver row proves incremental == recompute.
+    # Spark-side plan: with the stage tables materialized (each holding
+    # AT MOST ONE row per doc_id), the whole funnel is ONE pass of
+    # broadcast left-joins + cumulative pass flags + one aggregate —
+    # instead of a chained-NOT-EXISTS CTE that Spark re-evaluates per
+    # UNION branch (measured 9.8 s warm at sf0.1 vs ~1 s for this shape).
+    # Gate semantics preserved exactly: a doc passes unless its stage row
+    # exists AND flags it (NOT EXISTS == row IS NULL OR row is clean).
     if e == "s":
         q["curate_attrition_incr"] = """
-        WITH s1 AS (SELECT doc_id FROM cf_mat WHERE verdict = 'keep'),
-        s2 AS (
-          SELECT doc_id FROM s1
-          WHERE NOT EXISTS (SELECT 1 FROM rep_mat r
-                            WHERE r.doc_id = s1.doc_id
-                              AND r.verdict <> 'ok')
-        ),
-        s3 AS (
-          SELECT doc_id FROM s2
-          WHERE NOT EXISTS (SELECT 1 FROM cont_mat c
-                            WHERE c.doc_id = s2.doc_id
-                              AND c.verdict = 'contaminated')
-        ),
-        s4 AS (
-          SELECT doc_id FROM s3
-          WHERE NOT EXISTS (SELECT 1 FROM keepl_mat k
-                            WHERE k.doc_id = s3.doc_id
-                              AND k.decision = 'drop')
+        WITH f AS (
+          SELECT d.doc_id,
+                 CASE WHEN cf.verdict = 'keep' THEN 1 ELSE 0 END AS p1,
+                 CASE WHEN cf.verdict = 'keep'
+                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
+                      THEN 1 ELSE 0 END AS p2,
+                 CASE WHEN cf.verdict = 'keep'
+                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
+                       AND (c.doc_id IS NULL OR c.verdict <> 'contaminated')
+                      THEN 1 ELSE 0 END AS p3,
+                 CASE WHEN cf.verdict = 'keep'
+                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
+                       AND (c.doc_id IS NULL OR c.verdict <> 'contaminated')
+                       AND (k.doc_id IS NULL OR k.decision <> 'drop')
+                      THEN 1 ELSE 0 END AS p4,
+                 sp.split
+          FROM documents d
+          LEFT JOIN cf_mat cf ON cf.doc_id = d.doc_id
+          LEFT JOIN rep_mat r ON r.doc_id = d.doc_id
+          LEFT JOIN cont_mat c ON c.doc_id = d.doc_id
+          LEFT JOIN keepl_mat k ON k.doc_id = d.doc_id
+          LEFT JOIN spl_mat sp ON sp.doc_id = d.doc_id
         )
-        SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM documents
-        UNION ALL SELECT '1_corpus_filter', CAST(COUNT(*) AS BIGINT) FROM s1
-        UNION ALL SELECT '2_repetition', CAST(COUNT(*) AS BIGINT) FROM s2
-        UNION ALL SELECT '3_contamination', CAST(COUNT(*) AS BIGINT) FROM s3
-        UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
-        UNION ALL
-        SELECT concat('5_split_', spl.split) AS stage,
-               CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM s4 JOIN spl_mat spl ON spl.doc_id = s4.doc_id
-        GROUP BY spl.split
+        SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+          SELECT stack(5,
+                   '0_input', n0,
+                   '1_corpus_filter', n1,
+                   '2_repetition', n2,
+                   '3_contamination', n3,
+                   '4_near_dedup', n4) AS (stage, n_docs)
+          FROM (SELECT COUNT(*) AS n0, SUM(p1) AS n1, SUM(p2) AS n2,
+                       SUM(p3) AS n3, SUM(p4) AS n4 FROM f) a
+          UNION ALL
+          SELECT concat('5_split_', split) AS stage, COUNT(*) AS n_docs
+          FROM f WHERE p4 = 1 AND split IS NOT NULL GROUP BY split
+        ) u
         """
     else:
         q["curate_attrition_incr"] = q["curate_attrition"]
