@@ -375,6 +375,7 @@ _PRIORITY_R5 = [
     "shard_manifest",
     "mixture_weights",
     "curate_attrition_incr",
+    "vocab_coverage",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",

@@ -133,6 +133,9 @@ N_SHARDS = 8
 # 1 -> alpha 0.5 (sqrt temperature flattening, the multilingual-sampling
 # default); 2 -> alpha 1.0 (proportional, no reweighting).
 MIX_ALPHA_X2 = 1
+# candidate vocab sizes for the tokenizer coverage curve (a web corpus
+# would probe 16k-256k; these keep the oracle corpus's curve non-trivial)
+VOCAB_KS = (64, 256, 1024, 4096)
 
 
 def _tok_source(engine: str) -> str:
@@ -1281,6 +1284,57 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                          ELSE {_idiv('t.tot_tok * w_raw', 't.sum_w', e)}
                     END AS BIGINT) AS eff_tokens
         FROM wr CROSS JOIN tot t
+    """
+
+    # Tokenizer vocab coverage curve: for candidate vocab sizes K, the
+    # fraction of corpus tokens covered by the K most frequent terms
+    # (count-desc, term tie-break) — the sizing pass run before tokenizer
+    # training (coverage at K vs OOV rate). Exact integers throughout
+    # (coverage as x1e6 via {_idiv('a','b',e)}-style division). Scale
+    # shape: the expensive part is one explode + term groupBy (map-side
+    # combined); the rank/cumsum window runs over the VOCAB relation —
+    # orders of magnitude smaller than the corpus — which is the standard
+    # single-reduce of vocab construction (a web corpus would pre-prune
+    # cnt >= min_count first; the curve is identical for any K below the
+    # pruned size).
+    ks = ", ".join(f"({k})" for k in VOCAB_KS)
+    k_rel = (f"SELECT * FROM VALUES {ks} AS kk(k)" if e == "s"
+             else f"SELECT * FROM (VALUES {ks}) kk(k)")
+    v_explode = (f"SELECT explode(toks) AS tok FROM {tok_src}" if e == "s"
+                 else f"SELECT unnest(toks) AS tok FROM {tok_src} vc")
+    q["vocab_coverage"] = f"""
+        WITH tok AS ({v_explode}),
+        tf AS (
+          SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY tok
+        ),
+        ranked AS (
+          SELECT cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+          FROM tf
+        ),
+        cum AS (
+          SELECT rnk,
+                 SUM(cnt) OVER (ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS covered
+          FROM ranked
+        ),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM tf
+        )
+        SELECT CAST(kk.k AS BIGINT) AS k,
+               CAST(LEAST(kk.k, t.n_terms) AS BIGINT) AS vocab_size,
+               CAST(c.covered AS BIGINT) AS covered_tokens,
+               t.total_tokens,
+               CAST({_idiv('c.covered * 1000000', 't.total_tokens', e)}
+                 AS BIGINT) AS coverage_x1e6
+        FROM ({k_rel}) kk
+        CROSS JOIN tot t
+        JOIN cum c ON c.rnk = LEAST(kk.k, t.n_terms)
+        WHERE t.total_tokens > 0
     """
     return q
 

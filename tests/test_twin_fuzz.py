@@ -36,7 +36,7 @@ FUZZED = [
     "chunk_documents", "seq_pack_stats", "top_terms_by_source",
     "dedup_minhash_lsh", "simhash_clusters", "simhash_neardup_pairs",
     "ngram_jaccard_pairs", "split_leakage", "source_overlap_matrix",
-    "shard_manifest", "mixture_weights",
+    "shard_manifest", "mixture_weights", "vocab_coverage",
 ]
 
 WORDS = ["the", "a", "spark", "join", "merge", "x1", "9", "zz",
