@@ -376,6 +376,7 @@ _PRIORITY_R5 = [
     "mixture_weights",
     "curate_attrition_incr",
     "vocab_coverage",
+    "neardup_verified_pairs",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",

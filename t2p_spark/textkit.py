@@ -136,6 +136,10 @@ MIX_ALPHA_X2 = 1
 # candidate vocab sizes for the tokenizer coverage curve (a web corpus
 # would probe 16k-256k; these keep the oracle corpus's curve non-trivial)
 VOCAB_KS = (64, 256, 1024, 4096)
+# exact-Jaccard acceptance threshold (x1e6) for the LSH-candidate verify
+# stage; 0.5 keeps the oracle corpus's verified/rejected split non-trivial
+# (production web dedup typically verifies at 0.8+)
+NEARDUP_VERIFY_X1E6 = 500000
 
 
 def _tok_source(engine: str) -> str:
@@ -1336,6 +1340,57 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         JOIN cum c ON c.rnk = LEAST(kk.k, t.n_terms)
         WHERE t.total_tokens > 0
     """
+
+    # Two-stage near-dup dedup, verify stage: production LSH dedup never
+    # trusts the banded candidates alone — each candidate pair gets its
+    # EXACT distinct-token Jaccard computed and thresholded, and only
+    # verified pairs feed the keep-list. Candidate generation stays the
+    # banded equi-join (never all-pairs); verification explodes tokens
+    # ONLY for candidate docs (the pair relation semi-join-prunes the
+    # token stream — at web scale candidates << corpus, so the pairs
+    # relation broadcasts and the verify cost is O(candidate tokens)).
+    # Exact integers end-to-end: hashed distinct tokens, bigint counts,
+    # x1e6 Jaccard via exact integer division, LEFT-join keeps candidates
+    # with zero common tokens (possible under band hash collisions).
+    if e == "s":
+        vt_explode = ("SELECT doc_id, explode(array_distinct(thashes)) AS h "
+                      "FROM documents_tok")
+    else:
+        vt_explode = (f"SELECT doc_id, unnest(list_distinct(thashes)) AS h "
+                      f"FROM ({_tok_source('d')}) vt")
+    q["neardup_verified_pairs"] = f"""
+        WITH pairs AS ({q['dedup_minhash_lsh']}),
+        tokd AS ({vt_explode}),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM tokd GROUP BY doc_id
+        ),
+        common AS (
+          SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM pairs p
+          JOIN tokd ta ON ta.doc_id = p.doc_a
+          JOIN tokd tb ON tb.doc_id = p.doc_b AND tb.h = ta.h
+          GROUP BY ta.doc_id, tb.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(c.n_common, 0) AS n_common,
+               sa.n_tok AS n_a, sb.n_tok AS n_b,
+               CAST(CASE WHEN sa.n_tok + sb.n_tok = COALESCE(c.n_common, 0)
+                         THEN 0
+                         ELSE {_idiv('COALESCE(c.n_common, 0) * 1000000',
+                                     'sa.n_tok + sb.n_tok'
+                                     ' - COALESCE(c.n_common, 0)', e)}
+                    END AS BIGINT) AS jaccard_x1e6,
+               CASE WHEN COALESCE(c.n_common, 0) * 1000000
+                         >= {NEARDUP_VERIFY_X1E6}
+                         * (sa.n_tok + sb.n_tok - COALESCE(c.n_common, 0))
+                    THEN 'dup' ELSE 'rejected' END AS verdict
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    """
     return q
 
 
@@ -1627,7 +1682,7 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     if name not in ("dedup_exact", "pii_scrub"):
         ensure_documents_tok(spark)
     if name in ("dedup_minhash_lsh", "split_leakage",
-                "source_overlap_matrix"):
+                "source_overlap_matrix", "neardup_verified_pairs"):
         spark.sql(_minhash_select("s", n_minhash)) \
             .createOrReplaceTempView("sigs_mat")
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):

@@ -772,3 +772,38 @@ def test_curation_incremental_equals_recompute(spark):
     stages = {s for s, _ in ((r[0], r[1]) for r in full)}
     assert "0_input" in stages and any(s.startswith("5_split_")
                                        for s in stages)
+
+
+def test_neardup_verify_stage_exact_jaccard(spark):
+    """Two-stage dedup verify: LSH candidates must carry their EXACT
+    distinct-token Jaccard and the threshold verdict. Planted: an exact
+    duplicate (jaccard 1.0 -> dup), a half-overlap pair (8 shared of 12
+    distinct union = 2/3 -> dup at the 0.5 preset), and docs whose only
+    overlap is below threshold must be 'rejected' IF banding even emits
+    them."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"       # 8 tokens
+    half = base + " iota kappa lam mu"                           # 12 distinct
+    rows = [
+        (1, "s0", 0, base),
+        (2, "s1", 0, base),       # exact dup of 1
+        (3, "s2", 0, half),       # 8/12 overlap with 1 and 2
+    ]
+    try:
+        _swap_documents_view(spark, rows)
+        textkit.prepare_textkit_views(spark, "neardup_verified_pairs")
+        got = {(r["doc_a"], r["doc_b"]): r for r in spark.sql(
+            textkit.spark_sql_queries()["neardup_verified_pairs"]
+        ).collect()}
+        assert (1, 2) in got
+        r12 = got[(1, 2)]
+        assert (r12["n_common"], r12["n_a"], r12["n_b"]) == (8, 8, 8)
+        assert r12["jaccard_x1e6"] == 1_000_000
+        assert r12["verdict"] == "dup"
+        for pair in ((1, 3), (2, 3)):
+            if pair in got:  # banding may or may not emit the 2/3 pair
+                r = got[pair]
+                assert r["n_common"] == 8 and r["n_b"] == 12
+                assert r["jaccard_x1e6"] == 8 * 1_000_000 // 12
+                assert r["verdict"] == "dup"  # 2/3 >= 0.5 preset
+    finally:
+        _restore_views(spark)
