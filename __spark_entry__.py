@@ -343,7 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over chronological chunk files; oracle = the batch SQL
     from t2p_spark.streaming import (
         dedup_streamed_result, neardup_screen_streamed_result,
-        sessionize_streamed_result, tumbling_streamed_result,
+        pii_screen_streamed_result, sessionize_streamed_result,
+        tumbling_streamed_result,
     )
     out["events_sessionize_streamed"] = sessionize_streamed_result
     out["events_tumbling_streamed"] = tumbling_streamed_result
@@ -353,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental near-dup screening: streamed new docs vs the static
     # corpus band index (stream-static join + stateful pair dedup)
     out["stream_neardup_screen"] = neardup_screen_streamed_result
+    # ingestion-time PII screen: the batch pii twin's SQL applied
+    # verbatim to the incoming-docs stream (stateless microbatches)
+    out["stream_pii_screen"] = pii_screen_streamed_result
     return _prioritize(out)
 
 
@@ -377,6 +381,7 @@ _PRIORITY_R5 = [
     "curate_attrition_incr",
     "vocab_coverage",
     "neardup_verified_pairs",
+    "stream_pii_screen",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",
@@ -454,4 +459,7 @@ def oracle_sql() -> dict[str, str]:
     from t2p_spark.streaming import neardup_screen_oracle_sql
 
     out["stream_neardup_screen"] = neardup_screen_oracle_sql()
+    from t2p_spark.streaming import pii_screen_oracle_sql
+
+    out["stream_pii_screen"] = pii_screen_oracle_sql()
     return out

@@ -492,3 +492,53 @@ def neardup_screen_oracle_sql() -> str:
           ON n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
         WHERE {or_arms}
     """
+
+
+def pii_screen_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time PII screening: incoming documents are scanned for
+    emails/phones/key-shaped tokens BEFORE admission to the corpus — the
+    compliance gate a landing zone runs on every arriving file.
+
+    Spark-first composition: the detection is the SAME vectorized
+    regexp SQL as the batch ``pii_scrub`` twin, applied verbatim to a
+    streaming temp view — stateless per microbatch (no watermark, no
+    state store), whole-stage codegen, zero Python. Using the identical
+    SQL text for stream and batch is the point: the stream IS the batch
+    operator incrementalized, so the oracle (the DuckDB pii twin over
+    the same incoming slice) pins stream == batch semantics exactly.
+    """
+    import tempfile
+
+    from t2p_spark.relational import register_views
+    from t2p_spark.textkit import spark_sql_queries
+
+    register_views(spark, sf_dir)
+    path, schema = _stage_document_chunks(spark, sf_dir)
+    qname = _next_qname("pii_streamed")
+    vname = f"{qname}_in"
+    with _stream_shuffle_partitions(spark):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(path))
+        stream.createOrReplaceTempView(vname)
+        # the batch twin's SQL, retargeted at the stream view verbatim
+        pii_sql = spark_sql_queries()["pii_scrub"].replace(
+            "FROM documents", f"FROM {vname}")
+        out = spark.sql(pii_sql)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="t2p_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.sql(
+        f"SELECT doc_id, n_emails, n_phones, n_keys, redacted_md5 "
+        f"FROM {qname}")
+
+
+def pii_screen_oracle_sql() -> str:
+    """DuckDB twin: the batch pii query restricted to the incoming slice
+    (doc_id % 4 = 0 — the same slice _stage_document_chunks replays)."""
+    from t2p_spark.textkit import duckdb_oracle_queries
+
+    return duckdb_oracle_queries()["pii_scrub"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 4 = 0")

@@ -61,7 +61,7 @@ QUERIES = [
     "events_cohort_retention", "stratified_sample",
     "events_rolling_7d_users", "events_key_skew", "embedding_outliers",
     "shard_manifest", "mixture_weights", "curate_attrition_incr",
-    "vocab_coverage", "neardup_verified_pairs",
+    "vocab_coverage", "neardup_verified_pairs", "stream_pii_screen",
 ]
 
 
