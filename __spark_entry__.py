@@ -382,6 +382,7 @@ _PRIORITY_R5 = [
     "vocab_coverage",
     "neardup_verified_pairs",
     "stream_pii_screen",
+    "ann_recall_eval",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",

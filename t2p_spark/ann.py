@@ -614,6 +614,55 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
                {codes_md5} AS codes_md5
         FROM recon GROUP BY vec_id
     """
+
+    # ANN recall evaluation — the index-quality harness every vector
+    # pipeline runs before trusting an approximate index: per-query
+    # recall@{TOP_K} of each approximate variant (single-probe LSH,
+    # multi-probe, multi-table) against the brute-force truth, as a
+    # first-class query. Exact integers (hit counts, x1e6 recall via
+    # integer division; n_truth >= 1 by construction of the truth rows).
+    # Scale shape: the truth relation is N_QUERIES x TOP_K rows (tiny —
+    # a sampled query set, exactly how production recall evals run), so
+    # every join here broadcasts; the approximate arms keep their
+    # bucketed candidate generation.
+    rdiv = (lambda a, b: f"(({a}) DIV ({b}))") if engine == "s" else \
+           (lambda a, b: f"(({a}) // ({b}))")
+    vr_rel = ("SELECT * FROM VALUES ('lsh'), ('multiprobe'), "
+              "('multitable') AS vr(variant)" if engine == "s" else
+              "SELECT * FROM (VALUES ('lsh'), ('multiprobe'), "
+              "('multitable')) vr(variant)")
+    q["ann_recall_eval"] = f"""
+        WITH truth AS ({q['ann_topk_brute']}),
+        approx AS (
+          SELECT 'lsh' AS variant, query_id, neighbor_id
+          FROM ({q['ann_topk_lsh']}) xl
+          UNION ALL
+          SELECT 'multiprobe' AS variant, query_id, neighbor_id
+          FROM ({q['ann_topk_multiprobe']}) xp
+          UNION ALL
+          SELECT 'multitable' AS variant, query_id, neighbor_id
+          FROM ({q['ann_topk_multitable']}) xt
+        ),
+        hits AS (
+          SELECT v.variant, t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM truth t
+          JOIN approx v ON v.query_id = t.query_id
+                       AND v.neighbor_id = t.neighbor_id
+          GROUP BY v.variant, t.query_id
+        ),
+        tsz AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+          FROM truth GROUP BY query_id
+        )
+        SELECT vr.variant, ts.query_id, ts.n_truth,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               CAST({rdiv('COALESCE(h.n_hit, 0) * 1000000', 'ts.n_truth')}
+                 AS BIGINT) AS recall_x1e6
+        FROM tsz ts
+        CROSS JOIN ({vr_rel}) vr
+        LEFT JOIN hits h ON h.variant = vr.variant
+                        AND h.query_id = ts.query_id
+    """
     return q
 
 
