@@ -383,6 +383,7 @@ _PRIORITY_R5 = [
     "neardup_verified_pairs",
     "stream_pii_screen",
     "ann_recall_eval",
+    "events_anomaly_days",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",

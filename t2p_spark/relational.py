@@ -317,6 +317,39 @@ RELATIONAL_SQL = {
         WHERE rn = CAST(CEIL(q * n) AS BIGINT)
     """,
     # scalar/extract functions + conditional agg over the JSON props column.
+    # day-over-day event-rate anomaly detection — the pipeline-health
+    # monitor of an ingestion feed: per (day, event_type) counts with the
+    # previous OBSERVED day's count (LAG over the observed series; a
+    # calendar-gap day simply compares with the last day that had data),
+    # verdicts division-free in exact integers (spike: n >= 2.5x prev,
+    # quiet: n <= 0.4x prev). Shared ANSI verbatim; the one dialect trap
+    # is papered explicitly: DuckDB's date_trunc('day') yields DATE while
+    # Spark yields TIMESTAMP, so the bucket is CAST to TIMESTAMP in the
+    # shared text.
+    "events_anomaly_days": """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                      AS TIMESTAMP) AS day,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events
+          GROUP BY CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP), event_type
+        ),
+        w AS (
+          SELECT day, event_type, n_events,
+                 LAG(n_events) OVER (
+                   PARTITION BY event_type ORDER BY day
+                 ) AS prev_n
+          FROM daily
+        )
+        SELECT day, event_type, n_events,
+               CAST(COALESCE(prev_n, 0) AS BIGINT) AS prev_n,
+               CASE WHEN prev_n IS NULL THEN 'first'
+                    WHEN n_events * 2 >= prev_n * 5 THEN 'spike'
+                    WHEN n_events * 5 <= prev_n * 2 THEN 'quiet'
+                    ELSE 'normal' END AS verdict
+        FROM w
+    """,
     "events_props_stats": """
         SELECT
           event_type,

@@ -122,6 +122,7 @@ EVENTS_FUZZED = [
     "events_sessionize", "events_tumbling_hour", "events_hypertable_rollup",
     "events_cohort_retention", "events_rolling_7d_users", "events_funnel",
     "events_value_quantiles", "events_props_stats",
+    "events_anomaly_days",
 ]
 
 _ET = ["view", "click", "purchase", "scroll"]
