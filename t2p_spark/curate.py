@@ -1,0 +1,131 @@
+"""End-to-end curation job: documents -> gates -> kept set -> training
+chunks -> hash-assigned shards on disk, with a written manifest and a
+funnel report.
+
+This is the EXECUTABLE counterpart of the accounting twins
+(`curate_attrition_incr`, `chunk_documents`, `shard_manifest`): the same
+SQL stages, but materialized to parquet the way a 100-TB run schedules
+them —
+
+  1. each curation gate materialized once (`materialize_curation_stages`);
+  2. the funnel report (one broadcast-join pass over the gate tables)
+     written as `funnel/`;
+  3. the kept TRAIN-split documents chunked into fixed-stride training
+     windows;
+  4. chunks hash-assigned to `n_shards` fixed shards — a pure function of
+     (doc_id, chunk_idx), so shard contents are invariant to cluster
+     size — and written `partitionBy(shard_id)` as `shards/`;
+  5. a per-shard manifest (n_chunks, total_tokens, order-free mergeable
+     fp60 digest) computed FROM THE WRITTEN FILES and cross-checked
+     against the pre-write accounting — a corrupted or partial write
+     cannot produce a matching manifest — then written as `manifest/`.
+
+Run via spark-submit:
+
+    spark-submit --master local[8] jobs/curate.py \
+        --input /root/testdata/sf0.001 --output /tmp/curated
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _shard_expr(n_shards: int) -> str:
+    """The shard_manifest twin's assignment expression, verbatim Spark
+    dialect (textkit._hash60 of doc_id#chunk_idx, mod n_shards)."""
+    key = "concat(CAST(doc_id AS STRING), '#', CAST(chunk_idx AS STRING))"
+    return (f"CAST(CONV(SUBSTRING(md5({key}), 1, 15), 16, 10) AS BIGINT)"
+            f" % {n_shards}")
+
+
+def _fp60_expr() -> str:
+    key = "concat(CAST(doc_id AS STRING), '#', CAST(chunk_idx AS STRING))"
+    return (f"CAST(CONV(SUBSTRING(md5(concat(chunk_md5, ':', {key})), 1, 15),"
+            f" 16, 10) AS BIGINT)")
+
+
+def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
+                     n_shards: int = None) -> dict:
+    """Execute the curation pipeline; returns summary counters.
+
+    Raises RuntimeError if the post-write manifest does not match the
+    pre-write accounting (the write-integrity gate)."""
+    from t2p_spark.relational import register_views
+    from t2p_spark.textkit import (
+        N_SHARDS, materialize_curation_stages, prepare_textkit_views,
+        spark_sql_queries,
+    )
+
+    nsh = N_SHARDS if n_shards is None else n_shards
+    register_views(spark, sf_dir)
+    prepare_textkit_views(spark, "curate_attrition_incr")
+    materialize_curation_stages(spark)
+    sqls = spark_sql_queries()
+
+    # 1-2. funnel report over the materialized gates
+    funnel = spark.sql(sqls["curate_attrition_incr"])
+    funnel.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "funnel"))
+
+    # 3. kept TRAIN docs: passed every gate AND landed in the train split
+    kept = spark.sql("""
+        SELECT d.doc_id FROM documents d
+        JOIN cf_mat cf ON cf.doc_id = d.doc_id AND cf.verdict = 'keep'
+        LEFT JOIN rep_mat r ON r.doc_id = d.doc_id
+        LEFT JOIN cont_mat c ON c.doc_id = d.doc_id
+        LEFT JOIN keepl_mat k ON k.doc_id = d.doc_id
+        JOIN spl_mat sp ON sp.doc_id = d.doc_id AND sp.split = 'train'
+        WHERE (r.doc_id IS NULL OR r.verdict = 'ok')
+          AND (c.doc_id IS NULL OR c.verdict <> 'contaminated')
+          AND (k.doc_id IS NULL OR k.decision <> 'drop')
+    """)
+    kept.createOrReplaceTempView("kept_train")
+
+    # training chunks of the kept set only (the chunk twin's SQL,
+    # restricted by a broadcast semi-join on the kept list)
+    chunks = spark.sql(
+        f"SELECT ch.* FROM ({sqls['chunk_documents']}) ch "
+        f"WHERE EXISTS (SELECT 1 FROM kept_train kt "
+        f"              WHERE kt.doc_id = ch.doc_id)")
+    chunks.createOrReplaceTempView("kept_chunks")
+
+    # 4. deterministic shard assignment; write clustered by shard
+    sharded = spark.sql(
+        f"SELECT {_shard_expr(nsh)} AS shard_id, doc_id, chunk_idx, "
+        f"n_chunk_tokens, chunk_md5, {_fp60_expr()} AS fp60 "
+        f"FROM kept_chunks")
+    shards_path = os.path.join(out_dir, "shards")
+    (sharded.repartition(nsh, "shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").parquet(shards_path))
+
+    # 5. manifest FROM THE WRITTEN FILES, cross-checked against the
+    # pre-write accounting (order-free digests are mergeable, so both
+    # sides are one map-side-combined aggregate)
+    manifest_sql = ("SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+                    "CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens, "
+                    "CAST(BIT_XOR(fp60) AS BIGINT) AS content_fp60 "
+                    "FROM {src} GROUP BY shard_id")
+    spark.read.parquet(shards_path).createOrReplaceTempView("written_shards")
+    written = spark.sql(manifest_sql.format(src="written_shards"))
+    sharded.createOrReplaceTempView("prewrite_shards")
+    expected = spark.sql(manifest_sql.format(src="prewrite_shards"))
+    w_rows = sorted(tuple(r) for r in written.collect())
+    e_rows = sorted(tuple(r) for r in expected.collect())
+    if w_rows != e_rows:
+        raise RuntimeError(
+            f"shard manifest mismatch: written {w_rows} != expected {e_rows}")
+    written.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "manifest"))
+
+    funnel_rows = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    return {
+        "n_input": funnel_rows.get("0_input", 0),
+        "n_kept_train": kept.count(),
+        "n_chunks": sum(r[1] for r in w_rows),
+        "n_shards": len(w_rows),
+        "total_tokens": sum(r[2] for r in w_rows),
+        "funnel": funnel_rows,
+    }
