@@ -343,8 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over chronological chunk files; oracle = the batch SQL
     from t2p_spark.streaming import (
         dedup_streamed_result, neardup_screen_streamed_result,
-        pii_screen_streamed_result, sessionize_streamed_result,
-        tumbling_streamed_result,
+        pii_screen_streamed_result, quality_gate_streamed_result,
+        sessionize_streamed_result, tumbling_streamed_result,
     )
     out["events_sessionize_streamed"] = sessionize_streamed_result
     out["events_tumbling_streamed"] = tumbling_streamed_result
@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ingestion-time PII screen: the batch pii twin's SQL applied
     # verbatim to the incoming-docs stream (stateless microbatches)
     out["stream_pii_screen"] = pii_screen_streamed_result
+    # ingestion-time quality gate (batch corpus_filter verdicts in-stream)
+    out["stream_quality_gate"] = quality_gate_streamed_result
     return _prioritize(out)
 
 
@@ -384,6 +386,7 @@ _PRIORITY_R5 = [
     "stream_pii_screen",
     "ann_recall_eval",
     "events_anomaly_days",
+    "stream_quality_gate",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",
@@ -461,7 +464,10 @@ def oracle_sql() -> dict[str, str]:
     from t2p_spark.streaming import neardup_screen_oracle_sql
 
     out["stream_neardup_screen"] = neardup_screen_oracle_sql()
-    from t2p_spark.streaming import pii_screen_oracle_sql
+    from t2p_spark.streaming import (
+        pii_screen_oracle_sql, quality_gate_oracle_sql,
+    )
 
     out["stream_pii_screen"] = pii_screen_oracle_sql()
+    out["stream_quality_gate"] = quality_gate_oracle_sql()
     return out

@@ -542,3 +542,61 @@ def pii_screen_oracle_sql() -> str:
 
     return duckdb_oracle_queries()["pii_scrub"].replace(
         "FROM documents", "FROM documents WHERE doc_id % 4 = 0")
+
+
+def quality_gate_streamed_result(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Ingestion-time quality gate — the third screen of the landing-zone
+    triad (near-dup screen, PII screen, quality gate): every arriving
+    document gets the batch ``corpus_filter`` verdict (Gopher/C4-style
+    per-doc rules) BEFORE admission.
+
+    Spark-first composition: the batch twin's SQL retargeted at the
+    stream, with the tokenization inlined into the stream projection
+    (the cached documents_tok view cannot back a stream; the quality
+    features fold over the token array a handful of times, so the
+    re-tokenization cost is bounded — unlike the shingle/bit element
+    access patterns that need the cached view). Stateless microbatches,
+    zero Python. The per-doc rules depend only on the document itself,
+    so stream == batch verdicts exactly — pinned by the oracle.
+    """
+    import tempfile
+
+    from t2p_spark.relational import register_views
+    from t2p_spark.textkit import _hash60, _tokens, _xform, spark_sql_queries
+
+    register_views(spark, sf_dir)
+    path, schema = _stage_document_chunks(spark, sf_dir)
+    qname = _next_qname("quality_streamed")
+    vname = f"{qname}_in"
+    inline_tok = (
+        f"(SELECT doc_id, source, n_chars, text, "
+        f"{_tokens('text', 's')} AS toks, "
+        f"{_xform(_tokens('text', 's'), 't -> ' + _hash60('t', 's'), 's')}"
+        f" AS thashes FROM {vname})")
+    with _stream_shuffle_partitions(spark):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(path))
+        stream.createOrReplaceTempView(vname)
+        gate_sql = spark_sql_queries()["corpus_filter"].replace(
+            "documents_tok", inline_tok)
+        out = spark.sql(gate_sql)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="t2p_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.sql(
+        f"SELECT doc_id, verdict, n_tokens FROM {qname}")
+
+
+def quality_gate_oracle_sql() -> str:
+    """DuckDB twin: the batch corpus_filter restricted to the incoming
+    slice (doc_id % 4 = 0, the _stage_document_chunks replay)."""
+    from t2p_spark.textkit import duckdb_oracle_queries
+
+    sql = duckdb_oracle_queries()["corpus_filter"]
+    assert sql.count("FROM documents)") == 1
+    return sql.replace("FROM documents)",
+                       "FROM documents WHERE doc_id % 4 = 0)")

@@ -62,7 +62,7 @@ QUERIES = [
     "events_rolling_7d_users", "events_key_skew", "embedding_outliers",
     "shard_manifest", "mixture_weights", "curate_attrition_incr",
     "vocab_coverage", "neardup_verified_pairs", "stream_pii_screen",
-    "ann_recall_eval", "events_anomaly_days",
+    "ann_recall_eval", "events_anomaly_days", "stream_quality_gate",
 ]
 
 
