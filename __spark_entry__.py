@@ -387,6 +387,7 @@ _PRIORITY_R5 = [
     "ann_recall_eval",
     "events_anomaly_days",
     "stream_quality_gate",
+    "seq_pack_plan",
     # attested r3, beyond the r4 window — due under rule (b)
     "events_props_stats",
     "events_by_segment_salted",

@@ -1290,6 +1290,35 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         FROM wr CROSS JOIN tot t
     """
 
+    # The packing MAP that seq_pack_stats accounts for: per document, the
+    # training sequence it starts in and its token offset within that
+    # sequence (GPT-style concatenate-and-chunk in doc_id order per
+    # source) — the assignment a packing writer consumes. Pure integer
+    # window math shared with the stats twin: start = cumsum - n_tok,
+    # seq_idx = start DIV {PACK_LEN}, offset = start MOD {PACK_LEN}.
+    q["seq_pack_plan"] = f"""
+        WITH sized AS (
+          SELECT doc_id, source, CAST({_asize('toks', e)} AS BIGINT) AS n_tok
+          FROM {tok_src} pp
+          WHERE {_asize('toks', e)} > 0
+        ),
+        cum AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tok AS start_tok
+          FROM sized
+        )
+        SELECT doc_id, source, n_tok,
+               CAST({_idiv('start_tok', str(PACK_LEN), e)} AS BIGINT)
+                 AS seq_idx,
+               CAST(start_tok % {PACK_LEN} AS BIGINT) AS seq_offset,
+               CAST({_idiv('start_tok + n_tok - 1', str(PACK_LEN), e)}
+                 AS BIGINT) AS end_seq_idx
+        FROM cum
+    """
+
     # Tokenizer vocab coverage curve: for candidate vocab sizes K, the
     # fraction of corpus tokens covered by the K most frequent terms
     # (count-desc, term tie-break) — the sizing pass run before tokenizer

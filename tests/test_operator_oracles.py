@@ -63,6 +63,7 @@ QUERIES = [
     "shard_manifest", "mixture_weights", "curate_attrition_incr",
     "vocab_coverage", "neardup_verified_pairs", "stream_pii_screen",
     "ann_recall_eval", "events_anomaly_days", "stream_quality_gate",
+    "seq_pack_plan",
 ]
 
 

@@ -807,3 +807,30 @@ def test_neardup_verify_stage_exact_jaccard(spark):
                 assert r["verdict"] == "dup"  # 2/3 >= 0.5 preset
     finally:
         _restore_views(spark)
+
+
+def test_seq_pack_plan_consistent_with_stats(spark):
+    """The packing MAP must replay into exactly the stats twin's
+    accounting: per source, n_sequences == max end_seq_idx + 1 and
+    n_boundary_docs == docs whose start and end sequences differ."""
+    sf = "/root/testdata/sf0.001"
+    plan = textkit.run_textkit(spark, sf, "seq_pack_plan").collect()
+    stats = {r["source"]: r for r in
+             textkit.run_textkit(spark, sf, "seq_pack_stats").collect()}
+    by_src = {}
+    for r in plan:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(stats)
+    for src, rows in by_src.items():
+        s = stats[src]
+        assert len(rows) == s["n_docs"]
+        assert sum(r["n_tok"] for r in rows) == s["total_tokens"]
+        assert max(r["end_seq_idx"] for r in rows) + 1 == s["n_sequences"]
+        boundary = sum(1 for r in rows if r["seq_idx"] != r["end_seq_idx"])
+        assert boundary == s["n_boundary_docs"]
+        # the map is gap-free: token starts are a perfect running sum
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rows:
+            assert r["seq_idx"] * textkit.PACK_LEN + r["seq_offset"] == run
+            run += r["n_tok"]

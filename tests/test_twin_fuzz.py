@@ -37,7 +37,7 @@ FUZZED = [
     "dedup_minhash_lsh", "simhash_clusters", "simhash_neardup_pairs",
     "ngram_jaccard_pairs", "split_leakage", "source_overlap_matrix",
     "shard_manifest", "mixture_weights", "vocab_coverage",
-    "neardup_verified_pairs",
+    "neardup_verified_pairs", "seq_pack_plan",
 ]
 
 WORDS = ["the", "a", "spark", "join", "merge", "x1", "9", "zz",
