@@ -34,17 +34,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _shard_expr(n_shards: int) -> str:
-    """The shard_manifest twin's assignment expression, verbatim Spark
-    dialect (textkit._hash60 of doc_id#chunk_idx, mod n_shards)."""
+    """The shard_manifest twin's assignment expression, built FROM the
+    twin's own hash builder (textkit._hash60 of doc_id#chunk_idx, mod
+    n_shards) so the on-disk shard assignment can never drift from the
+    manifest operator (r5 ADVICE: no hand-duplicated dialect strings)."""
+    from t2p_spark.textkit import _hash60
+
     key = "concat(CAST(doc_id AS STRING), '#', CAST(chunk_idx AS STRING))"
-    return (f"CAST(CONV(SUBSTRING(md5({key}), 1, 15), 16, 10) AS BIGINT)"
-            f" % {n_shards}")
+    return f"{_hash60(key, 's')} % {n_shards}"
 
 
 def _fp60_expr() -> str:
+    from t2p_spark.textkit import _hash60
+
     key = "concat(CAST(doc_id AS STRING), '#', CAST(chunk_idx AS STRING))"
-    return (f"CAST(CONV(SUBSTRING(md5(concat(chunk_md5, ':', {key})), 1, 15),"
-            f" 16, 10) AS BIGINT)")
+    return _hash60(f"concat(chunk_md5, ':', {key})", "s")
 
 
 def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,

@@ -520,9 +520,13 @@ def pii_screen_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(path))
         stream.createOrReplaceTempView(vname)
-        # the batch twin's SQL, retargeted at the stream view verbatim
-        pii_sql = spark_sql_queries()["pii_scrub"].replace(
-            "FROM documents", f"FROM {vname}")
+        # the batch twin's SQL, retargeted at the stream view verbatim;
+        # the uniqueness assert guards the prefix-substring replace (a
+        # future "FROM documents_tok" reference would match too and
+        # silently corrupt the SQL — r5 ADVICE)
+        pii_sql = spark_sql_queries()["pii_scrub"]
+        assert pii_sql.count("FROM documents") == 1
+        pii_sql = pii_sql.replace("FROM documents", f"FROM {vname}")
         out = spark.sql(pii_sql)
         q = (out.writeStream.outputMode("append")
              .format("memory").queryName(qname)
@@ -540,8 +544,10 @@ def pii_screen_oracle_sql() -> str:
     (doc_id % 4 = 0 — the same slice _stage_document_chunks replays)."""
     from t2p_spark.textkit import duckdb_oracle_queries
 
-    return duckdb_oracle_queries()["pii_scrub"].replace(
-        "FROM documents", "FROM documents WHERE doc_id % 4 = 0")
+    sql = duckdb_oracle_queries()["pii_scrub"]
+    assert sql.count("FROM documents") == 1
+    return sql.replace("FROM documents",
+                       "FROM documents WHERE doc_id % 4 = 0")
 
 
 def quality_gate_streamed_result(spark: SparkSession,

@@ -93,6 +93,18 @@ def _idiv(a: str, b: str, engine: str) -> str:
     return f"(({a}) DIV ({b}))" if engine == "s" else f"(({a}) // ({b}))"
 
 
+def _wide(expr: str, engine: str) -> str:
+    """Overflow-proof integer widening for products of two BIGINT-scale
+    operands: DECIMAL(38,0) in Spark, HUGEINT (int128) in DuckDB — both
+    exact to ~1e38, and both divide exactly under _idiv (Spark decimal
+    DIV returns the integral BIGINT quotient; DuckDB // stays HUGEINT).
+    Used wherever a web-scale corpus (~1e13 tokens) would overflow a
+    signed 64-bit intermediate (r5 ADVICE: tot_tok * w_raw ~ 3e22)."""
+    if engine == "s":
+        return f"CAST({expr} AS DECIMAL(38,0))"
+    return f"CAST({expr} AS HUGEINT)"
+
+
 # Scale-preset knobs (builder arguments of _build/spark_sql_queries/
 # duckdb_oracle_queries, mirroring ann.make_planes): defaults match the
 # oracle corpus; at 10^9+ docs raise N_MINHASH (more bands -> higher
@@ -123,6 +135,19 @@ SUBSTR_MIN_DF = 2
 CHUNK_C = 24
 CHUNK_STRIDE = 16
 PACK_LEN = 256
+# seq packing two-level cumsum: bucket width in doc_id space. The packing
+# cumsum runs ORDER BY doc_id per source; a single per-source window is a
+# one-reducer sort at web scale, so the Spark twin computes it two-level:
+# per-(source, bucket) partial sums -> bucket offsets on the tiny bucket
+# relation (broadcast back) -> within-bucket window. bucket = doc_id DIV W
+# is monotone in doc_id, so offsets+within-bucket == the global cumsum
+# exactly. Each bucket holds <= W docs; the offsets relation has one row
+# per non-empty (source, bucket) — ~corpus/W rows, orders of magnitude
+# smaller than the corpus (at 10^12 docs, W=2^20 leaves a ~10^6-row
+# offsets relation — still one window, but over 10^-6 of the data; recurse
+# the same trick if ever needed). 512 keeps the oracle corpus multi-bucket
+# so tests exercise the two-level path for real.
+SEQ_PACK_BUCKET_W = 512
 # shard writer: number of fixed output shards for the training-manifest
 # accounting. Assignment is a pure function of (doc_id, chunk_idx) — the
 # md5-derived 60-bit hash mod N_SHARDS — so shard contents are invariant
@@ -140,6 +165,62 @@ VOCAB_KS = (64, 256, 1024, 4096)
 # stage; 0.5 keeps the oracle corpus's verified/rejected split non-trivial
 # (production web dedup typically verifies at 0.8+)
 NEARDUP_VERIFY_X1E6 = 500000
+
+
+def _pack_cum(e: str, tok_src: str) -> str:
+    """CTE chain ``sized`` -> ``cum`` exposing (doc_id, source, n_tok,
+    cum_end): the per-source running token cumsum in doc_id order — the
+    packing prefix sum shared by seq_pack_stats and seq_pack_plan.
+
+    Spark dialect: TWO-LEVEL cumsum. A direct per-source window sorts each
+    source's full row set into one task — a single-reducer bottleneck at
+    web scale. Instead: per-(source, bucket) partial sums, bucket offsets
+    windowed over the tiny bucket relation and broadcast back, then a
+    within-(source, bucket) window. bucket = doc_id DIV SEQ_PACK_BUCKET_W
+    is monotone in doc_id, so the composition equals the global cumsum
+    exactly — same integers, bounded partitions. The DuckDB twin keeps the
+    direct single-window formulation, so the driver's hash compare proves
+    the two-level rewrite exact on every run.
+    """
+    sized = f"""
+        sized AS (
+          SELECT doc_id, source, CAST({_asize('toks', e)} AS BIGINT) AS n_tok
+          FROM {tok_src} pk
+          WHERE {_asize('toks', e)} > 0
+        )"""
+    if e != "s":
+        return sized + """,
+        cum AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_end
+          FROM sized
+        )"""
+    return sized + f""",
+        bkt AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(doc_id DIV {SEQ_PACK_BUCKET_W} AS BIGINT) AS bkt
+          FROM sized
+        ),
+        boff AS (
+          SELECT source, bkt,
+                 COALESCE(SUM(bkt_sum) OVER (
+                   PARTITION BY source ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS off
+          FROM (SELECT source, bkt, SUM(n_tok) AS bkt_sum
+                FROM bkt GROUP BY source, bkt) bs
+        ),
+        cum AS (
+          SELECT /*+ BROADCAST(o) */ b.doc_id, b.source, b.n_tok,
+                 o.off + SUM(b.n_tok) OVER (
+                   PARTITION BY b.source, b.bkt ORDER BY b.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_end
+          FROM bkt b JOIN boff o ON o.source = b.source AND o.bkt = b.bkt
+        )"""
 
 
 def _tok_source(engine: str) -> str:
@@ -645,23 +726,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # fixed {PACK_LEN}-token training sequences per source in doc_id order
     # (the standard GPT-style packing); reports per-source sequence counts,
     # tail waste, and how many docs straddle a sequence boundary (the
-    # attention-fragmentation metric). One window cumsum partitioned by
-    # source + one groupBy — utilization is emitted as an exact x1e6
-    # integer ({_idiv('a', 'b', e)}-style, no float).
+    # attention-fragmentation metric). Cumsum via _pack_cum (Spark:
+    # two-level, scale-safe; DuckDB: direct window) + one groupBy —
+    # utilization is emitted as an exact x1e6 integer
+    # ({_idiv('a', 'b', e)}-style, no float).
     q["seq_pack_stats"] = f"""
-        WITH sized AS (
-          SELECT doc_id, source, CAST({_asize('toks', e)} AS BIGINT) AS n_tok
-          FROM {tok_src} tp
-          WHERE {_asize('toks', e)} > 0
-        ),
-        cum AS (
-          SELECT doc_id, source, n_tok,
-                 SUM(n_tok) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS cum_end
-          FROM sized
-        )
+        WITH {_pack_cum(e, tok_src)}
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
@@ -1194,8 +1264,11 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                    '2_repetition', n2,
                    '3_contamination', n3,
                    '4_near_dedup', n4) AS (stage, n_docs)
-          FROM (SELECT COUNT(*) AS n0, SUM(p1) AS n1, SUM(p2) AS n2,
-                       SUM(p3) AS n3, SUM(p4) AS n4 FROM f) a
+          FROM (SELECT COUNT(*) AS n0,
+                       COALESCE(SUM(p1), 0) AS n1,
+                       COALESCE(SUM(p2), 0) AS n2,
+                       COALESCE(SUM(p3), 0) AS n3,
+                       COALESCE(SUM(p4), 0) AS n4 FROM f) a
           UNION ALL
           SELECT concat('5_split_', split) AS stage, COUNT(*) AS n_docs
           FROM f WHERE p4 = 1 AND split IS NOT NULL GROUP BY split
@@ -1251,15 +1324,20 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # floor(1000*sqrt(t)) — double SQRT seeds the value and one ±1
     # integer correction makes it exact in both engines (the double error
     # is < 1 everywhere below 2^63), so no float reaches the compared
-    # output; normalization uses exact integer division. Scale shape: the
-    # per-source relation is tiny (one row per source) — a single
-    # map-side-combined groupBy then scalar broadcast joins.
+    # output; normalization uses exact integer division. All products of
+    # two corpus-scale operands go through _wide (DECIMAL(38,0)/HUGEINT):
+    # at ~1e13 tokens per source, t*1e6, s0^2 (~9e18), w_raw*1e6 under
+    # alpha=1, and tot_tok*w_raw (~3e22) all overflow signed BIGINT
+    # (r5 ADVICE) — the wide intermediates are exact to 1e38 and the
+    # final quotients fit BIGINT by construction (quotient <= tot_tok).
+    # Scale shape: the per-source relation is tiny (one row per source) —
+    # a single map-side-combined groupBy then scalar broadcast joins.
     if alpha_x2 == 1:
-        x6 = "total_tokens * 1000000"
+        x6 = f"{_wide('total_tokens', e)} * 1000000"
         seed = f"CAST(FLOOR(SQRT(CAST({x6} AS DOUBLE))) AS BIGINT)"
         w_raw = f"""
-          CASE WHEN (s0 + 1) * (s0 + 1) <= {x6} THEN s0 + 1
-               WHEN s0 * s0 > {x6} THEN s0 - 1
+          CASE WHEN {_wide('s0 + 1', e)} * (s0 + 1) <= {x6} THEN s0 + 1
+               WHEN {_wide('s0', e)} * s0 > {x6} THEN s0 - 1
                ELSE s0 END"""
         wsrc = f"""
           SELECT source, n_docs, total_tokens, {w_raw} AS w_raw
@@ -1282,10 +1360,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         )
         SELECT source, n_docs, total_tokens,
                CAST(CASE WHEN t.sum_w = 0 THEN 0
-                         ELSE {_idiv('w_raw * 1000000', 't.sum_w', e)}
+                         ELSE {_idiv(_wide('w_raw', e) + ' * 1000000',
+                                     't.sum_w', e)}
                     END AS BIGINT) AS weight_x1e6,
                CAST(CASE WHEN t.sum_w = 0 THEN 0
-                         ELSE {_idiv('t.tot_tok * w_raw', 't.sum_w', e)}
+                         ELSE {_idiv(_wide('t.tot_tok', e) + ' * w_raw',
+                                     't.sum_w', e)}
                     END AS BIGINT) AS eff_tokens
         FROM wr CROSS JOIN tot t
     """
@@ -1294,27 +1374,16 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # training sequence it starts in and its token offset within that
     # sequence (GPT-style concatenate-and-chunk in doc_id order per
     # source) — the assignment a packing writer consumes. Pure integer
-    # window math shared with the stats twin: start = cumsum - n_tok,
+    # math over the shared _pack_cum prefix sum (Spark: two-level,
+    # scale-safe; DuckDB: direct window): start = cum_end - n_tok,
     # seq_idx = start DIV {PACK_LEN}, offset = start MOD {PACK_LEN}.
     q["seq_pack_plan"] = f"""
-        WITH sized AS (
-          SELECT doc_id, source, CAST({_asize('toks', e)} AS BIGINT) AS n_tok
-          FROM {tok_src} pp
-          WHERE {_asize('toks', e)} > 0
-        ),
-        cum AS (
-          SELECT doc_id, source, n_tok,
-                 SUM(n_tok) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) - n_tok AS start_tok
-          FROM sized
-        )
+        WITH {_pack_cum(e, tok_src)}
         SELECT doc_id, source, n_tok,
-               CAST({_idiv('start_tok', str(PACK_LEN), e)} AS BIGINT)
+               CAST({_idiv('cum_end - n_tok', str(PACK_LEN), e)} AS BIGINT)
                  AS seq_idx,
-               CAST(start_tok % {PACK_LEN} AS BIGINT) AS seq_offset,
-               CAST({_idiv('start_tok + n_tok - 1', str(PACK_LEN), e)}
+               CAST((cum_end - n_tok) % {PACK_LEN} AS BIGINT) AS seq_offset,
+               CAST({_idiv('cum_end - 1', str(PACK_LEN), e)}
                  AS BIGINT) AS end_seq_idx
         FROM cum
     """
@@ -1325,11 +1394,20 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # training (coverage at K vs OOV rate). Exact integers throughout
     # (coverage as x1e6 via {_idiv('a','b',e)}-style division). Scale
     # shape: the expensive part is one explode + term groupBy (map-side
-    # combined); the rank/cumsum window runs over the VOCAB relation —
-    # orders of magnitude smaller than the corpus — which is the standard
-    # single-reduce of vocab construction (a web corpus would pre-prune
-    # cnt >= min_count first; the curve is identical for any K below the
-    # pruned size).
+    # combined). The rank/cumsum window only ever matters for rank <=
+    # max(VOCAB_KS), so the Spark dialect bounds it STRUCTURALLY: ORDER BY
+    # cnt DESC, term LIMIT {max(VOCAB_KS)} first — Spark plans that as
+    # TakeOrderedAndProject (fully parallel per-partition top-K + merge),
+    # and the window then runs over <= {max(VOCAB_KS)} rows instead of the
+    # full term relation (billions of distinct terms on a web corpus
+    # through one reducer otherwise). Exact for every preset K; the
+    # corpus-wide total comes from the unbounded aggregate. The DuckDB
+    # twin keeps the unbounded window, so the driver's hash compare proves
+    # the LIMIT rewrite exact.
+    kmax = max(VOCAB_KS)
+    ranked_src = (f"(SELECT term, cnt FROM tf "
+                  f"ORDER BY cnt DESC, term LIMIT {kmax}) topk"
+                  if e == "s" else "tf")
     ks = ", ".join(f"({k})" for k in VOCAB_KS)
     k_rel = (f"SELECT * FROM VALUES {ks} AS kk(k)" if e == "s"
              else f"SELECT * FROM (VALUES {ks}) kk(k)")
@@ -1344,7 +1422,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
         ranked AS (
           SELECT cnt,
                  ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
-          FROM tf
+          FROM {ranked_src}
         ),
         cum AS (
           SELECT rnk,
@@ -1379,15 +1457,54 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # token stream — at web scale candidates << corpus, so the pairs
     # relation broadcasts and the verify cost is O(candidate tokens)).
     # Exact integers end-to-end: hashed distinct tokens, bigint counts,
-    # x1e6 Jaccard via exact integer division, LEFT-join keeps candidates
-    # with zero common tokens (possible under band hash collisions).
+    # x1e6 Jaccard via exact integer division; zero common tokens is a
+    # valid candidate outcome (band hash collisions) and yields jaccard 0.
+    #
+    # Spark dialect (r5 verdict fix): aggregate each candidate doc's
+    # DISTINCT token-hash set ONCE (semi-join-pruned to pair endpoints),
+    # then intersect per pair with array_intersect — a doc appearing in k
+    # candidate pairs contributes one bounded array k times instead of
+    # replaying its exploded token stream through a k-way join+groupBy
+    # (the viral-cluster hot-key of the previous formulation). The DuckDB
+    # twin keeps the explode+equi-join+COUNT formulation, so the driver's
+    # hash compare proves the set-intersect rewrite exact.
     if e == "s":
-        vt_explode = ("SELECT doc_id, explode(array_distinct(thashes)) AS h "
-                      "FROM documents_tok")
+        q["neardup_verified_pairs"] = f"""
+        WITH pairs AS ({q['dedup_minhash_lsh']}),
+        cand AS (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION
+          SELECT doc_b AS doc_id FROM pairs
+        ),
+        tsets AS (
+          SELECT t.doc_id, array_distinct(t.thashes) AS hs
+          FROM documents_tok t
+          LEFT SEMI JOIN cand ON cand.doc_id = t.doc_id
+        ),
+        joined AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(size(array_intersect(ta.hs, tb.hs)) AS BIGINT)
+                   AS n_common,
+                 CAST(size(ta.hs) AS BIGINT) AS n_a,
+                 CAST(size(tb.hs) AS BIGINT) AS n_b
+          FROM pairs p
+          JOIN tsets ta ON ta.doc_id = p.doc_a
+          JOIN tsets tb ON tb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b, n_common, n_a, n_b,
+               CAST(CASE WHEN n_a + n_b = n_common THEN 0
+                         ELSE {_idiv('n_common * 1000000',
+                                     'n_a + n_b - n_common', e)}
+                    END AS BIGINT) AS jaccard_x1e6,
+               CASE WHEN n_common * 1000000
+                         >= {NEARDUP_VERIFY_X1E6} * (n_a + n_b - n_common)
+                    THEN 'dup' ELSE 'rejected' END AS verdict
+        FROM joined
+    """
     else:
         vt_explode = (f"SELECT doc_id, unnest(list_distinct(thashes)) AS h "
                       f"FROM ({_tok_source('d')}) vt")
-    q["neardup_verified_pairs"] = f"""
+        q["neardup_verified_pairs"] = f"""
         WITH pairs AS ({q['dedup_minhash_lsh']}),
         tokd AS ({vt_explode}),
         sizes AS (
@@ -1685,8 +1802,11 @@ def materialize_curation_stages(spark: SparkSession) -> None:
     key = ("cur_stages", skey, VIEW_GENERATION.get(skey, 0))
     if key in _TOK_CACHE:
         return
+    # evict only THIS session's old-generation stage caches — another
+    # live session's cached stages stay persisted (r5 ADVICE)
     for stale in [k for k in _TOK_CACHE
-                  if isinstance(k, tuple) and k[0] == "cur_stages"]:
+                  if isinstance(k, tuple) and k[0] == "cur_stages"
+                  and k[1] == skey]:
         for df in _TOK_CACHE.pop(stale):
             df.unpersist()
     dedup_components(spark).createOrReplaceTempView("cc_mat")
