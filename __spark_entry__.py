@@ -374,51 +374,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (BENCH/window_r*.json) naming exactly which queries the driver will
 # and will not check this round, with each query's last attested round —
 # the coverage gap is thereby auditable, not silently chosen here.
-_PRIORITY_R5 = [
-    # compared output changed this round (array -> scalar digest)
-    "embedding_centroids",
-    # new this round
-    "shard_manifest",
-    "mixture_weights",
-    "curate_attrition_incr",
+_PRIORITY_R6 = [
+    # Spark-side SQL changed this round (scale rewrites, r5 VERDICT #1-3 +
+    # ADVICE; outputs proven unchanged vs the naive DuckDB twins) — rule (a)
+    "seq_pack_plan",
+    "seq_pack_stats",
     "vocab_coverage",
     "neardup_verified_pairs",
+    "mixture_weights",
+    "curate_attrition_incr",
     "stream_pii_screen",
-    "ann_recall_eval",
-    "events_anomaly_days",
-    "stream_quality_gate",
-    "seq_pack_plan",
-    # attested r3, beyond the r4 window — due under rule (b)
-    "events_props_stats",
-    "events_by_segment_salted",
-    "events_asof_order",
-    "events_value_bands",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_clusters",
-    "simhash_neardup_pairs",
-    "token_stats",
-    "token_stats_bpe",
-    "distinct_users_kmv",
-    "doc_fingerprint",
-    "corpus_filter",
-    "sample_split",
-    "split_leakage",
-    "stratified_sample",
-    "lm_score",
-    "repetition_stats",
-    "contamination_check",
+    # attested r4, beyond the r5 window — due under rule (b)
+    "events_key_skew",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_value_quantiles",
+    "events_rolling_7d_users",
+    "ngram_jaccard_pairs",
+    "substring_dedup",
+    "lang_id",
+    "quality_score",
+    "pii_scrub",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "bm25_search",
+    "dedup_keep_list",
+    "top_terms_by_source",
+    "source_overlap_matrix",
+    "curate_attrition",
+    "embedding_buckets",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "embedding_neardup",
+    "ann_topk_multitable",
+    "embedding_outliers",
+    "ann_topk_multiprobe",
+    "embedding_sq8",
+    "ann_topk_ivf",
+    "events_sessionize_streamed",
+    "events_tumbling_streamed",
+    "events_stream_dedup",
+    "stream_neardup_screen",
+    # flagship rotation picks for the remaining slots (all attested r5;
+    # extraction parity + multimodal + the r5 additions stay hot)
+    "extract_fixture_spans",
+    "extract_synth_corpus",
+    "quarantine_reasons",
+    "render_pagexml",
+    "multimodal_meta",
+    "multimodal_features",
+    "media_phash_clusters",
+    "q1_pricing_summary",
     "dedup_components",
+    "shard_manifest",
+    "ann_recall_eval",
+    "stream_quality_gate",
+    "events_anomaly_days",
 ]
 
 
 def _prioritize(out: dict) -> dict:
-    missing = [n for n in _PRIORITY_R5 if n not in out]
+    missing = [n for n in _PRIORITY_R6 if n not in out]
     # a typo'd priority name must fail loudly, not silently drop a query
     # from the audit window (r4 ADVICE)
     assert not missing, f"priority names absent from queries(): {missing}"
-    head = {n: out[n] for n in _PRIORITY_R5}
+    head = {n: out[n] for n in _PRIORITY_R6}
     head.update({n: f for n, f in out.items() if n not in head})
     return head
 

@@ -230,10 +230,40 @@ class _stream_shuffle_partitions:
 
 _STREAM_SEQ = [0]
 
+# driver-query name -> the last drained run's FINAL microbatch executed
+# plan (explainInternal over lastExecution). Streams have no batch
+# DataFrame whose plan tools/audit_plans.py could explain, so each drain
+# records its own executed plan here and the audit reads it back — the
+# same scale screening (joins/shuffles/red flags) the batch queries get.
+LAST_STREAM_PLANS: dict[str, str] = {}
+
 
 def _next_qname(prefix: str) -> str:
     _STREAM_SEQ[0] += 1
     return f"{prefix}_{_STREAM_SEQ[0]}"
+
+
+def _drain(q, audit_name: str) -> None:
+    """awaitTermination + record the last microbatch's executed plan
+    under ``audit_name`` (best-effort: plan capture must never fail a
+    drain — py4j internals are version-sensitive)."""
+    q.awaitTermination()
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        # StreamingQueryWrapper -> StreamExecution -> IncrementalExecution
+        # (a QueryExecution): the formatted executed plan of the final
+        # microbatch, same shape tools/audit_plans.py parses for batch
+        LAST_STREAM_PLANS[audit_name] = (
+            q._jsq.streamingQuery().lastExecution().explainString(mode))
+    except Exception:  # pragma: no cover - capture is diagnostic only
+        try:
+            LAST_STREAM_PLANS[audit_name] = q._jsq.explainInternal(True)
+        except Exception:
+            pass
 
 
 def sessionize_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +281,7 @@ def sessionize_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         q = run_sessionize_stream(spark, path, schema,
                                   tempfile.mkdtemp(prefix="t2p_ck_"), qname)
-        q.awaitTermination()
+        _drain(q, "events_sessionize_streamed")
     return spark.sql(f"""
         SELECT user_id,
                MAX(n_sessions) AS n_sessions,
@@ -273,7 +303,7 @@ def tumbling_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         q = run_events_stream(spark, path, schema,
                               tempfile.mkdtemp(prefix="t2p_ck_"), qname)
-        q.awaitTermination()
+        _drain(q, "events_tumbling_streamed")
     return spark.sql(
         f"SELECT event_type, hour_bucket, n_events, total_value "
         f"FROM {qname}"
@@ -324,7 +354,7 @@ def dedup_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        _drain(q, "events_stream_dedup")
     return spark.sql(f"""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM {qname} GROUP BY event_type
@@ -468,7 +498,7 @@ def neardup_screen_streamed_result(spark: SparkSession,
                          tempfile.mkdtemp(prefix="t2p_ck_"))
                  .trigger(availableNow=True)
                  .start())
-            q.awaitTermination()
+            _drain(q, "stream_neardup_screen")
     finally:
         index.unpersist()
     # no final DISTINCT: if the stream ever emitted a pair twice, the
@@ -533,7 +563,7 @@ def pii_screen_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", tempfile.mkdtemp(prefix="t2p_ck_"))
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination()
+        _drain(q, "stream_pii_screen")
     return spark.sql(
         f"SELECT doc_id, n_emails, n_phones, n_keys, redacted_md5 "
         f"FROM {qname}")
@@ -592,7 +622,7 @@ def quality_gate_streamed_result(spark: SparkSession,
              .option("checkpointLocation", tempfile.mkdtemp(prefix="t2p_ck_"))
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination()
+        _drain(q, "stream_quality_gate")
     return spark.sql(
         f"SELECT doc_id, verdict, n_tokens FROM {qname}")
 

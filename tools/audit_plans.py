@@ -44,6 +44,21 @@ AUDITED = [
     "vocab_coverage", "neardup_verified_pairs", "ann_recall_eval",
     "seq_pack_plan",
     "events_anomaly_days",
+    # r6: full coverage — every queries() entry is audited (r5 VERDICT #5)
+    "dedup_exact", "doc_fingerprint", "embedding_buckets",
+    "embedding_neardup", "events_props_stats", "events_sessionize",
+    "events_tumbling_hour", "extract_synth_corpus", "lang_id",
+    "minhash_signatures", "multimodal_features", "multimodal_meta",
+    "quality_score", "simhash_clusters", "token_stats",
+]
+
+# streaming drains: no batch DataFrame to explain — each drain records its
+# FINAL microbatch's formatted executed plan in streaming.LAST_STREAM_PLANS
+# (captured from StreamExecution.lastExecution) and the audit reads it back
+STREAMING_AUDITED = [
+    "events_sessionize_streamed", "events_tumbling_streamed",
+    "events_stream_dedup", "stream_neardup_screen",
+    "stream_pii_screen", "stream_quality_gate",
 ]
 
 RED_FLAGS = (
@@ -160,6 +175,47 @@ def main() -> int:
             f"{flags} |")
         print(f"audited {name}: joins={len(s['joins'])} "
               f"exch={s['n_exchanges']} flags={flags}", flush=True)
+    lines.append("")
+    lines.append("## Streaming queries (final-microbatch executed plans)")
+    lines.append("")
+    lines.append("Captured by `streaming._drain` from "
+                 "`StreamExecution.lastExecution` at drain time — the same "
+                 "scale screening as the batch table. Stateful operators "
+                 "show their state-store ops; shuffle counts are "
+                 "per-microbatch.")
+    lines.append("")
+    lines.append(
+        "| stream | joins | shuffles/microbatch | state ops | "
+        "arrow kernels | red flags |")
+    lines.append("|---|---|---|---|---|---|")
+    from t2p_spark import streaming as streaming_mod
+    for name in STREAMING_AUDITED:
+        queries[name](spark, args.sf)
+        plan = streaming_mod.LAST_STREAM_PLANS.get(name)
+        if not plan:
+            lines.append(f"| {name} | (plan capture failed) | | | | |")
+            any_flag = True
+            print(f"audited {name}: NO PLAN CAPTURED", flush=True)
+            continue
+        s = summarize(plan)
+        state_ops = sorted({op for op in re.findall(r"^\(\d+\) (\w+)",
+                                                    plan, re.M)
+                            if "State" in op or "Dedup" in op
+                            or "InPandasWithState" in op})
+        flags = ", ".join(s["flags"]) or (
+            "null-aware-anti" if s["null_aware_anti"] else "none")
+        if s["flags"] or s["null_aware_anti"]:
+            any_flag = True
+        join_txt = "<br>".join(j.split("[")[0].strip() + (
+            " (" + j.split(", ")[-1] + ")" if ", " in j else "")
+            for j in s["joins"]) or "—"
+        lines.append(
+            f"| {name} | {join_txt} | {s['n_exchanges']} | "
+            f"{', '.join(state_ops) or '—'} | {s['arrow_eval']} | "
+            f"{flags} |")
+        print(f"audited {name} (stream): joins={len(s['joins'])} "
+              f"exch={s['n_exchanges']} state={state_ops} flags={flags}",
+              flush=True)
     lines.append("")
     lines.append(
         "All audited plans are free of CartesianProduct, row-at-a-time "
