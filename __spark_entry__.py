@@ -64,6 +64,39 @@ def extract_fixture_spans(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+REFERENCE_METS = "/root/reference/tests/workspace/mets.xml"
+
+
+def extract_workspace_spans(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """METS-workspace source through the full pipeline: the reference's own
+    corpus entry point (tests/workspace/mets.xml, resolved the way
+    /root/reference/tests/test_workspace.py:17-22 does) fed to the same
+    extraction as extract_fixture_spans. Dims for unmaterialized images come
+    from the committed goldens, as the reference's Resolver would have
+    downloaded them. Oracle: the SAME goldens oracle — a workspace source
+    must be indistinguishable from the fixtures source."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.fixtures import fixture_ids, golden_meta
+    from t2p_spark.pipeline import extract
+    from t2p_spark.workspace import docs_from_workspace
+
+    dims = {d: (golden_meta(d)["width"], golden_meta(d)["height"])
+            for d in fixture_ids()}
+    docs = docs_from_workspace(spark, REFERENCE_METS, dims=dims,
+                               chunk_size=1 << 20)
+    out = extract(docs, parallelism=4)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("text_md5"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def extract_synth_corpus(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Deterministic 120-doc synthetic corpus through the full pipeline;
     returns per-doc status/metrics. Oracle: the committed pure-Python
@@ -307,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_fixture_spans": extract_fixture_spans,
+        "extract_workspace_spans": extract_workspace_spans,
         "extract_synth_corpus": extract_synth_corpus,
         "quarantine_reasons": quarantine_reasons,
         "multimodal_meta": multimodal_meta,
@@ -375,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and will not check this round, with each query's last attested round —
 # the coverage gap is thereby auditable, not silently chosen here.
 _PRIORITY_R6 = [
+    # NEW this round — rule (a): METS-workspace corpus source (r5 VERDICT
+    # "What's missing" #1) driven through the full extraction pipeline
+    "extract_workspace_spans",
     # Spark-side SQL changed this round (scale rewrites, r5 VERDICT #1-3 +
     # ADVICE; outputs proven unchanged vs the naive DuckDB twins) — rule (a)
     "seq_pack_plan",
@@ -450,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "extract_fixture_spans": EXTRACT_FIXTURES_ORACLE,
+        # the workspace source must reproduce the fixtures source exactly,
+        # so it shares the goldens oracle verbatim
+        "extract_workspace_spans": EXTRACT_FIXTURES_ORACLE,
         "extract_synth_corpus": EXTRACT_SYNTH_ORACLE,
         "quarantine_reasons": QUARANTINE_REASONS_ORACLE,
         "multimodal_meta": MULTIMODAL_META_ORACLE,
