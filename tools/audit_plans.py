@@ -50,6 +50,7 @@ AUDITED = [
     "events_tumbling_hour", "extract_synth_corpus", "lang_id",
     "minhash_signatures", "multimodal_features", "multimodal_meta",
     "quality_score", "simhash_clusters", "token_stats",
+    "extract_workspace_spans",  # r6: METS workspace source
 ]
 
 # streaming drains: no batch DataFrame to explain — each drain records its
@@ -119,6 +120,13 @@ def main() -> int:
         .getOrCreate()
     )
     queries = entrymod.queries()
+    # full-coverage invariant (r5 VERDICT #5): a queries() entry absent
+    # from both audit lists must fail the tool, not silently skip —
+    # otherwise a new query ships without a plan audit.
+    covered = set(AUDITED) | set(STREAMING_AUDITED) | {
+        "dedup_components_distributed"}
+    uncovered = sorted(set(queries) - covered)
+    assert not uncovered, f"queries missing from plan audit: {uncovered}"
     lines = [
         "# BENCH/PLANS — physical-plan audit (generated by tools/audit_plans.py)",
         "",
