@@ -143,6 +143,43 @@ def quarantine_reasons(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+# Cap for the quarantine_oversize attestation: sits inside the synth
+# corpus's payload-size distribution so the PayloadTooLarge guard provably
+# fires on the big docs AND provably spares the small ones (both sides of
+# the cap are populated). Production default is pipeline.MAX_PAYLOAD_BYTES.
+OVERSIZE_CAP_BYTES = 200_000
+
+
+def quarantine_oversize(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Oversized-payload guard attestation (pipeline.py Arrow row limit):
+    the synthetic corpus extracted under a cap chosen INSIDE its payload
+    size distribution — docs over the cap must quarantine as
+    PayloadTooLarge without the giant string ever being built; docs under
+    it must keep their uncapped verdict. Oracle: the committed golden
+    carries each doc's payload_bytes (the same octet-length sum the guard
+    computes), so DuckDB replays the cap rule exactly."""
+    import pyspark.sql.functions as F
+
+    from t2p_spark.pipeline import extract
+    from t2p_spark.schema import DOCS_SCHEMA
+    from t2p_spark.synth import corpus_rows
+
+    docs = spark.createDataFrame(
+        list(corpus_rows(120, seed=7, chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    out = extract(docs, parallelism=4,
+                  max_payload_bytes=OVERSIZE_CAP_BYTES)
+    return (
+        out.select(
+            "status",
+            F.when(F.col("error") == "", "")
+             .otherwise(F.split("error", ":").getItem(0)).alias("reason"),
+        )
+        .groupBy("status", "reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Binary-media plumbing: docs -> media table (fake codec) -> vectorized
     header parse. Oracle: the header fields are pure functions of
@@ -241,6 +278,25 @@ QUARANTINE_REASONS_ORACLE = f"""
     FROM read_json('{SYNTH_GOLDEN}',
                    columns={{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
                              'reason': 'VARCHAR'}})
+    GROUP BY status, reason
+"""
+
+# Replays the PayloadTooLarge cap rule over the golden's payload_bytes —
+# the guard fires FIRST in the kernel, so it overrides any other verdict,
+# exactly as the CASE does here. Cap literal is bound at import so both
+# twins share one constant.
+QUARANTINE_OVERSIZE_ORACLE_TEMPLATE = f"""
+    SELECT status, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE WHEN payload_bytes > {{cap}} THEN 'quarantined'
+                  ELSE status END AS status,
+             CASE WHEN payload_bytes > {{cap}} THEN 'PayloadTooLarge'
+                  ELSE reason END AS reason
+      FROM read_json('{SYNTH_GOLDEN}',
+                     columns={{{{'doc_id': 'VARCHAR', 'status': 'VARCHAR',
+                               'reason': 'VARCHAR',
+                               'payload_bytes': 'BIGINT'}}}})
+    )
     GROUP BY status, reason
 """
 
@@ -343,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_workspace_spans": extract_workspace_spans,
         "extract_synth_corpus": extract_synth_corpus,
         "quarantine_reasons": quarantine_reasons,
+        "quarantine_oversize": quarantine_oversize,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "media_phash_clusters": media_phash_clusters,
@@ -412,6 +469,9 @@ _PRIORITY_R6 = [
     # NEW this round — rule (a): METS-workspace corpus source (r5 VERDICT
     # "What's missing" #1) driven through the full extraction pipeline
     "extract_workspace_spans",
+    # NEW this round — rule (a): oversized-payload (Arrow row limit) guard,
+    # attested by replaying the cap rule over the golden's payload_bytes
+    "quarantine_oversize",
     # Spark-side SQL changed this round (scale rewrites, r5 VERDICT #1-3 +
     # ADVICE; outputs proven unchanged vs the naive DuckDB twins) — rule (a)
     "seq_pack_plan",
@@ -492,6 +552,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_workspace_spans": EXTRACT_FIXTURES_ORACLE,
         "extract_synth_corpus": EXTRACT_SYNTH_ORACLE,
         "quarantine_reasons": QUARANTINE_REASONS_ORACLE,
+        "quarantine_oversize":
+            QUARANTINE_OVERSIZE_ORACLE_TEMPLATE.format(
+                cap=OVERSIZE_CAP_BYTES),
         "multimodal_meta": MULTIMODAL_META_ORACLE,
         "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
         "media_phash_clusters": MEDIA_PHASH_ORACLE,

@@ -82,12 +82,27 @@ def _convert_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     list_offsets = [0]
     status_col, error_col, nb_col, ns_col, fp_col = [], [], [], [], []
 
+    # oversized-payload marker from assemble_payload(max_payload_bytes=...):
+    # non-NULL byte count == the doc exceeded the cap and json_text was
+    # deliberately left unbuilt (one such row would overflow Arrow's int32
+    # string offsets and kill the stage — quarantine it instead)
+    if "payload_bytes" in batch.schema.names:
+        oversizes = batch.column("payload_bytes").to_pylist()
+    else:
+        oversizes = [None] * batch.num_rows
+
     doc_ids = batch.column("doc_id").to_pylist()
-    for doc_id, width, height, media_ref, payload in zip(
-        doc_ids, widths, heights, media_refs, payloads
+    for doc_id, width, height, media_ref, payload, oversize in zip(
+        doc_ids, widths, heights, media_refs, payloads, oversizes
     ):
         n_blocks = 0
-        if width is None or height is None or not payload:
+        if oversize is not None:
+            status, spans, error = (
+                "quarantined", [],
+                f"PayloadTooLarge: {oversize} bytes exceeds the "
+                "max_payload_bytes cap (Arrow row limit)",
+            )
+        elif width is None or height is None or not payload:
             status, spans, error = (
                 "quarantined", [], "InvalidDoc: missing media dims or payload"
             )

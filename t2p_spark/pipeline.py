@@ -18,9 +18,15 @@ Skew strategy (north_rule "pathological many-block documents"):
     badly laid out (few files / one giant file): that adds one explicit
     hash(doc_id) exchange at 4N granularity for scheduler elasticity.
 
-Known limit: a single document whose serialized payload exceeds the Arrow
-string/int32 offset range (~2GB) would fail at serialization; at ingest
-such rows should be quarantined upstream (cheap span-length sum filter).
+Oversized-payload guard (the Arrow row limit): a single document whose
+serialized payload approaches the Arrow string/int32 offset range (~2GB)
+cannot cross mapInArrow — Spark cannot split a row, so one such doc would
+fail the whole stage. ``extract``/the extraction stream therefore compute
+the payload byte count column-side (a codegen ``aggregate`` over span
+lengths — the giant string itself is NEVER materialized, CASE WHEN
+branch-skips the array_join) and the kernel quarantines the marked row
+with ``PayloadTooLarge`` instead of crashing. Default cap 1GiB leaves 2x
+headroom under the hard int32 limit.
 
 Everything before/after the kernel is whole-stage-codegen Column ops —
 ``.explain()`` shows one scan, at most one explicit exchange, the kernel,
@@ -37,14 +43,24 @@ from t2p_spark.schema import EXTRACTED_SCHEMA
 
 DEFAULT_BUCKETS = 64
 
+# 1 GiB: 2x headroom under Arrow's int32 string-offset hard limit (~2GiB)
+MAX_PAYLOAD_BYTES = 1 << 30
 
-def assemble_payload(docs: DataFrame) -> DataFrame:
+
+def assemble_payload(docs: DataFrame,
+                     max_payload_bytes: int | None = None) -> DataFrame:
     """Column-only: interleaved spans -> (doc_id, width, height, media_ref, json_text).
 
     Encoding per FIXTURES.md §1: the 'media' span carries "WxH" pixel dims in
     `text` and the image filename in `media_ref` (replacing the reference's
     PIL lookup, convert_aws.py:720-723); 'text' spans concatenate to the
     Textract JSON in `offset` order.
+
+    With ``max_payload_bytes`` set, a ``payload_bytes`` column is added that
+    is non-NULL exactly for docs whose concatenated text payload exceeds the
+    cap; for those rows ``json_text`` stays NULL and the oversized string is
+    never built (CASE WHEN short-circuits the array_join). The kernel turns
+    the marker into a ``PayloadTooLarge`` quarantine row.
     """
     # try_element_at: a doc without a media span yields NULL dims and is
     # quarantined by the kernel rather than failing the stage
@@ -58,28 +74,44 @@ def assemble_payload(docs: DataFrame) -> DataFrame:
         .when(a["offset"] > b["offset"], 1)
         .otherwise(0),
     )
-    return docs.select(
-        "doc_id",
+    json_text = F.array_join(
+        F.transform(text_spans, lambda s: s["text"]), ""
+    )
+    cols = [
+        F.col("doc_id"),
         F.element_at(dims, 1).cast("int").alias("width"),
         F.element_at(dims, 2).cast("int").alias("height"),
         F.coalesce(media["media_ref"], F.lit("")).alias("media_ref"),
-        F.array_join(F.transform(text_spans, lambda s: s["text"]), "").alias(
-            "json_text"
-        ),
+    ]
+    if max_payload_bytes is None:
+        return docs.select(*cols, json_text.alias("json_text"))
+    # codegen fold over span byte lengths — O(spans), never builds the string
+    payload_bytes = F.aggregate(
+        text_spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.octet_length(s["text"]), F.lit(0)),
+    )
+    oversize = payload_bytes > F.lit(int(max_payload_bytes))
+    return docs.select(
+        *cols,
+        F.when(~oversize, json_text).alias("json_text"),
+        F.when(oversize, payload_bytes).alias("payload_bytes"),
     )
 
 
 def extract(docs: DataFrame, parallelism: int | None = None,
-            n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+            n_buckets: int = DEFAULT_BUCKETS,
+            max_payload_bytes: int = MAX_PAYLOAD_BYTES) -> DataFrame:
     """docs(doc_id, spans) -> extracted(doc_id, spans, status, ...) + bucket.
 
     parallelism=None (the scale default): zero shuffle — the kernel runs on
     the scan partitions; parquet size-splitting + byte-bounded Arrow batches
     handle doc-size skew. parallelism=N: one explicit hash(doc_id) exchange
     into 4N partitions, for badly-laid-out sources or local benches where
-    the source has too few splits.
+    the source has too few splits. Docs over ``max_payload_bytes`` are
+    quarantined (``PayloadTooLarge``) instead of crashing the Arrow cross.
     """
-    assembled = assemble_payload(docs)
+    assembled = assemble_payload(docs, max_payload_bytes=max_payload_bytes)
     if parallelism is not None:
         assembled = assembled.repartition(parallelism * 4, "doc_id")
 

@@ -39,8 +39,13 @@ def extract_stream(docs_stream: DataFrame) -> DataFrame:
 
     No shuffle inside the stream — one stage per microbatch; bucket
     assignment happens in foreachBatch at sink time (see run_extract_stream).
+    Oversized docs quarantine (PayloadTooLarge) exactly as in batch extract —
+    one pathological arriving doc must not kill the long-running stream.
     """
-    assembled = assemble_payload(docs_stream)
+    from t2p_spark.pipeline import MAX_PAYLOAD_BYTES
+
+    assembled = assemble_payload(docs_stream,
+                                 max_payload_bytes=MAX_PAYLOAD_BYTES)
     return assembled.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
 
 

@@ -141,6 +141,49 @@ def test_kernel_quarantines_non_object_json(spark):
     assert out["str-doc"]["status"] == "quarantined"
 
 
+def test_oversized_payload_quarantined_not_crashed(spark):
+    """Arrow row-limit guard (pipeline.py): a doc whose concatenated payload
+    exceeds max_payload_bytes must quarantine with PayloadTooLarge — the
+    giant string is never materialized and the stage never crashes — while
+    every under-cap doc is byte-identically unaffected (same status and
+    span fingerprint as the uncapped run)."""
+    from t2p_spark.fixtures import fixture_doc_rows
+    from t2p_spark.pipeline import extract
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA)
+    base = {r["doc_id"]: r for r in extract(docs).collect()}
+    assert base
+
+    # cap below every fixture payload -> all quarantined, none crash, and
+    # the error carries the exact payload byte count
+    small = {r["doc_id"]: r for r in
+             extract(docs, max_payload_bytes=100).collect()}
+    assert set(small) == set(base)
+    for r in small.values():
+        assert r["status"] == "quarantined"
+        assert r["error"].startswith("PayloadTooLarge: ")
+        assert int(r["error"].split()[1]) > 100
+
+    # mixed cap at the median payload size: exactly the over-cap docs flip;
+    # the rest keep the uncapped status AND fingerprint (the guard is
+    # invisible to under-cap docs)
+    sizes = {d: int(small[d]["error"].split()[1]) for d in small}
+    cap = sorted(sizes.values())[len(sizes) // 2]
+    mixed = {r["doc_id"]: r for r in
+             extract(docs, max_payload_bytes=cap).collect()}
+    flipped = 0
+    for d, r in mixed.items():
+        if sizes[d] > cap:
+            flipped += 1
+            assert r["status"] == "quarantined"
+            assert r["error"].startswith("PayloadTooLarge")
+        else:
+            assert r["status"] == base[d]["status"]
+            assert r["span_fp"] == base[d]["span_fp"]
+    assert 0 < flipped < len(mixed)
+
+
 def test_kernel_reenables_gc():
     """The kernel must leave the worker's gc enabled after the batch loop
     (convert.py builds reference cycles; a permanently disabled collector

@@ -51,6 +51,7 @@ AUDITED = [
     "minhash_signatures", "multimodal_features", "multimodal_meta",
     "quality_score", "simhash_clusters", "token_stats",
     "extract_workspace_spans",  # r6: METS workspace source
+    "quarantine_oversize",  # r6: Arrow row-limit (PayloadTooLarge) guard
 ]
 
 # streaming drains: no batch DataFrame to explain — each drain records its

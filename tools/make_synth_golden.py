@@ -63,8 +63,15 @@ def doc_metrics(spans) -> dict:
                 aws, int(w), int(h), media[2]
             )
             reason = err.split(":")[0] if err else ""
+    # payload_bytes: the same sum the pipeline's oversized-payload guard
+    # computes column-side (octet_length over text spans) — lets the
+    # quarantine_oversize oracle replay the PayloadTooLarge cap rule
+    payload_bytes = sum(
+        len(s[1].encode("utf-8")) for s in spans if s[0] == "text"
+    )
     return {"status": status, "n_blocks": n_blocks,
-            "n_spans": len(out_spans), "reason": reason}
+            "n_spans": len(out_spans), "reason": reason,
+            "payload_bytes": payload_bytes}
 
 
 def main() -> int:
