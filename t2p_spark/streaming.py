@@ -34,18 +34,22 @@ def read_docs_stream(spark: SparkSession, path: str,
     )
 
 
-def extract_stream(docs_stream: DataFrame) -> DataFrame:
+def extract_stream(docs_stream: DataFrame,
+                   max_payload_bytes: int | None = None) -> DataFrame:
     """Streaming extraction: same Column-only assembly + Arrow kernel.
 
     No shuffle inside the stream — one stage per microbatch; bucket
     assignment happens in foreachBatch at sink time (see run_extract_stream).
     Oversized docs quarantine (PayloadTooLarge) exactly as in batch extract —
     one pathological arriving doc must not kill the long-running stream.
+    ``max_payload_bytes`` defaults to the batch cap (pipeline 1GiB).
     """
     from t2p_spark.pipeline import MAX_PAYLOAD_BYTES
 
+    if max_payload_bytes is None:
+        max_payload_bytes = MAX_PAYLOAD_BYTES
     assembled = assemble_payload(docs_stream,
-                                 max_payload_bytes=MAX_PAYLOAD_BYTES)
+                                 max_payload_bytes=max_payload_bytes)
     return assembled.mapInArrow(extract_kernel, schema=EXTRACTED_SCHEMA)
 
 
@@ -69,7 +73,8 @@ def write_extract_batch(batch_df: DataFrame, batch_id: int,
 
 
 def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
-                       checkpoint_path: str, available_now: bool = True):
+                       checkpoint_path: str, available_now: bool = True,
+                       max_payload_bytes: int | None = None):
     """availableNow=True drains the current table once (backfill mode);
     False tails it continuously.
 
@@ -79,7 +84,8 @@ def run_extract_stream(spark: SparkSession, input_path: str, output_path: str,
     a retry rewrite exactly its own batch_id partitions and nothing else:
     idempotent per microbatch, append across microbatches.
     """
-    out = extract_stream(read_docs_stream(spark, input_path))
+    out = extract_stream(read_docs_stream(spark, input_path),
+                         max_payload_bytes=max_payload_bytes)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         write_extract_batch(batch_df, batch_id, output_path)

@@ -36,6 +36,46 @@ def test_streaming_extract_equals_batch(spark, tmp_path):
     assert fp(got) == fp(batch)
 
 
+def test_streaming_oversized_doc_does_not_kill_stream(spark, tmp_path):
+    """One pathological oversized doc arriving mid-stream must quarantine
+    as PayloadTooLarge while the stream keeps draining: every other doc's
+    result is identical to the uncapped batch run."""
+    from t2p_spark.pipeline import extract
+    from t2p_spark.streaming import run_extract_stream
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA
+    )
+    in_path = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(in_path)
+
+    # cap at the median fixture payload so both sides are populated and the
+    # oversized docs are scattered across microbatches
+    sizes = sorted(
+        r["pb"] for r in extract(docs, max_payload_bytes=1)
+        .selectExpr("CAST(split(error, ' ')[1] AS BIGINT) AS pb").collect()
+    )
+    cap = sizes[len(sizes) // 2]
+
+    q = run_extract_stream(spark, in_path, str(tmp_path / "out"),
+                           str(tmp_path / "ck"), max_payload_bytes=cap)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    base = {r["doc_id"]: r for r in extract(docs).collect()}
+    assert set(got) == set(base)
+    oversized = 0
+    for d, r in got.items():
+        if r["error"].startswith("PayloadTooLarge"):
+            oversized += 1
+            assert r["status"] == "quarantined"
+        else:
+            assert r["status"] == base[d]["status"]
+            assert r["span_fp"] == base[d]["span_fp"]
+    assert 0 < oversized < len(got)
+
+
 def test_streaming_events_window_equals_batch(spark, tmp_path):
     from t2p_spark.relational import register_views
     from t2p_spark.streaming import run_events_stream
