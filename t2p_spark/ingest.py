@@ -170,7 +170,8 @@ def _split_doc(doc_id: str, width, height, media_ref: str, json_text: str,
                  f"{type(exc).__name__}: {exc}")]
 
 
-def split_multipage(docs: DataFrame, chunk_size: int = 1 << 20) -> DataFrame:
+def split_multipage(docs: DataFrame, chunk_size: int = 1 << 20,
+                    max_payload_bytes: int | None = None) -> DataFrame:
     """docs(doc_id, spans) -> per-page docs + status/error.
 
     Column-only payload assembly feeds an Arrow kernel (orjson parse —
@@ -178,10 +179,14 @@ def split_multipage(docs: DataFrame, chunk_size: int = 1 << 20) -> DataFrame:
     blocks by their Page field; narrow map, no shuffle, binary-bounded
     batches. Rows with status='ok' feed pipeline.extract unchanged;
     'quarantined' rows carry the reason (pageless multi-PAGE, non-dict
-    payload, parse failure)."""
+    payload, parse failure, or PayloadTooLarge under the default
+    Arrow-row-limit cap — pipeline.MAX_PAYLOAD_BYTES unless overridden)."""
     import pyarrow as pa
 
-    from t2p_spark.pipeline import assemble_payload
+    from t2p_spark import pipeline
+
+    if max_payload_bytes is None:
+        max_payload_bytes = pipeline.MAX_PAYLOAD_BYTES
 
     span_type = pa.list_(pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
@@ -192,9 +197,17 @@ def split_multipage(docs: DataFrame, chunk_size: int = 1 << 20) -> DataFrame:
         for batch in batches:
             ids, spans, status, errs = [], [], [], []
             d = batch.to_pydict()
-            for doc_id, w, h, mref, text in zip(
+            oversizes = d.get("payload_bytes", [None] * batch.num_rows)
+            for doc_id, w, h, mref, text, oversize in zip(
                     d["doc_id"], d["width"], d["height"],
-                    d["media_ref"], d["json_text"]):
+                    d["media_ref"], d["json_text"], oversizes):
+                if oversize is not None:
+                    ids.append(doc_id)
+                    spans.append([])
+                    status.append("quarantined")
+                    errs.append(f"PayloadTooLarge: {oversize} bytes exceeds "
+                                "the max_payload_bytes cap (Arrow row limit)")
+                    continue
                 for row in _split_doc(doc_id, w, h, mref, text or "",
                                       chunk_size):
                     ids.append(row[0])
@@ -210,4 +223,6 @@ def split_multipage(docs: DataFrame, chunk_size: int = 1 << 20) -> DataFrame:
                 names=["doc_id", "spans", "status", "error"],
             )
 
-    return assemble_payload(docs).mapInArrow(kernel, schema=SPLIT_SCHEMA)
+    assembled = pipeline.assemble_payload(
+        docs, max_payload_bytes=max_payload_bytes)
+    return assembled.mapInArrow(kernel, schema=SPLIT_SCHEMA)

@@ -21,12 +21,14 @@ Skew strategy (north_rule "pathological many-block documents"):
 Oversized-payload guard (the Arrow row limit): a single document whose
 serialized payload approaches the Arrow string/int32 offset range (~2GB)
 cannot cross mapInArrow — Spark cannot split a row, so one such doc would
-fail the whole stage. ``extract``/the extraction stream therefore compute
-the payload byte count column-side (a codegen ``aggregate`` over span
-lengths — the giant string itself is NEVER materialized, CASE WHEN
-branch-skips the array_join) and the kernel quarantines the marked row
-with ``PayloadTooLarge`` instead of crashing. Default cap 1GiB leaves 2x
-headroom under the hard int32 limit.
+fail the whole stage. ``assemble_payload`` therefore caps the payload BY
+DEFAULT for every consumer (extract, the extraction stream, the PAGE-XML
+renderer, the multi-page splitter): the byte count is computed column-side
+(a codegen ``aggregate`` over span lengths — the giant string itself is
+NEVER materialized, CASE WHEN branch-skips the array_join) and the
+extract/split kernels quarantine the marked row with ``PayloadTooLarge``
+instead of crashing. Default cap 1GiB leaves 2x headroom under the hard
+int32 limit.
 
 Everything before/after the kernel is whole-stage-codegen Column ops —
 ``.explain()`` shows one scan, at most one explicit exchange, the kernel,
@@ -48,7 +50,8 @@ MAX_PAYLOAD_BYTES = 1 << 30
 
 
 def assemble_payload(docs: DataFrame,
-                     max_payload_bytes: int | None = None) -> DataFrame:
+                     max_payload_bytes: int | None = MAX_PAYLOAD_BYTES
+                     ) -> DataFrame:
     """Column-only: interleaved spans -> (doc_id, width, height, media_ref, json_text).
 
     Encoding per FIXTURES.md §1: the 'media' span carries "WxH" pixel dims in
@@ -56,11 +59,16 @@ def assemble_payload(docs: DataFrame,
     PIL lookup, convert_aws.py:720-723); 'text' spans concatenate to the
     Textract JSON in `offset` order.
 
-    With ``max_payload_bytes`` set, a ``payload_bytes`` column is added that
-    is non-NULL exactly for docs whose concatenated text payload exceeds the
-    cap; for those rows ``json_text`` stays NULL and the oversized string is
-    never built (CASE WHEN short-circuits the array_join). The kernel turns
-    the marker into a ``PayloadTooLarge`` quarantine row.
+    The Arrow-row-limit guard is ON BY DEFAULT for every consumer (extract,
+    the extraction stream, the PAGE-XML renderer, the multi-page splitter):
+    a ``payload_bytes`` column is added that is non-NULL exactly for docs
+    whose concatenated text payload exceeds the cap; for those rows
+    ``json_text`` stays NULL and the oversized string is never built (CASE
+    WHEN short-circuits the array_join). The extract/split kernels turn the
+    marker into a ``PayloadTooLarge`` quarantine row; kernels that ignore
+    the marker still quarantine on the NULL payload instead of dying on the
+    Arrow int32 offset overflow. ``max_payload_bytes=None`` disables the
+    guard (uncapped — the pre-guard behavior).
     """
     # try_element_at: a doc without a media span yields NULL dims and is
     # quarantined by the kernel rather than failing the stage

@@ -333,9 +333,17 @@ def render_kernel(batches) -> Iterator:
         )
 
 
-def render_pagexml_df(docs):
-    """docs(doc_id, spans) -> (doc_id, status, n_bytes, canon_md5)."""
-    from t2p_spark.pipeline import assemble_payload
+def render_pagexml_df(docs, max_payload_bytes=None):
+    """docs(doc_id, spans) -> (doc_id, status, n_bytes, canon_md5).
 
-    return assemble_payload(docs).mapInArrow(render_kernel,
-                                             schema=RENDERED_SCHEMA)
+    Inherits assemble_payload's default Arrow-row-limit cap: an oversized
+    doc renders as status=quarantined (NULL payload path) instead of
+    overflowing the Arrow string column and killing the stage. Pass
+    ``max_payload_bytes`` to override the default cap."""
+    from t2p_spark import pipeline
+
+    if max_payload_bytes is None:
+        max_payload_bytes = pipeline.MAX_PAYLOAD_BYTES
+    assembled = pipeline.assemble_payload(
+        docs, max_payload_bytes=max_payload_bytes)
+    return assembled.mapInArrow(render_kernel, schema=RENDERED_SCHEMA)

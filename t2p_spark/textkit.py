@@ -219,7 +219,7 @@ def _pack_cum(e: str, tok_src: str) -> str:
                    PARTITION BY b.source, b.bkt ORDER BY b.doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS cum_end
-          FROM bkt b JOIN boff o ON o.source = b.source AND o.bkt = b.bkt
+          FROM bkt b JOIN boff o ON o.source <=> b.source AND o.bkt = b.bkt
         )"""
 
 

@@ -47,12 +47,20 @@ class WorkspacePage:
     page_xml_path: Optional[str]
 
 
-def _classify(mimetype: str) -> str:
+def _classify(mimetype: str, href: str = "") -> Optional[str]:
+    """image/* -> image, PAGE mime -> page_xml, JSON (by mimetype or .json
+    href) -> textract, anything else (ALTO, plain text, PDF, ...) -> None
+    so an unrelated fileGrp in a richer workspace can never shadow the
+    real Textract JSON."""
     if mimetype.startswith("image/"):
         return "image"
     if mimetype == PAGE_XML_MIME:
         return "page_xml"
-    return "textract"
+    if (mimetype in ("application/json", "text/json")
+            or mimetype.endswith("+json")
+            or href.lower().endswith(".json")):
+        return "textract"
+    return None
 
 
 def parse_mets(mets_path: str) -> List[WorkspacePage]:
@@ -78,8 +86,11 @@ def parse_mets(mets_path: str) -> List[WorkspacePage]:
         href = flocat.get(f"{_XLINK}href")
         if not href:
             continue
+        kind = _classify(mimetype, href)
+        if kind is None:
+            continue
         path = href if os.path.isabs(href) else os.path.join(base, href)
-        files[fid] = (_classify(mimetype), path)
+        files[fid] = (kind, path)
 
     pages: List[WorkspacePage] = []
     for smap in root.iter(f"{_METS}structMap"):
@@ -92,7 +103,10 @@ def parse_mets(mets_path: str) -> List[WorkspacePage]:
             for fptr in div.findall(f"{_METS}fptr"):
                 entry = files.get(fptr.get("FILEID", ""))
                 if entry:
-                    got[entry[0]] = entry[1]
+                    # first fptr of each kind wins: a page div that also
+                    # points at derived outputs (e.g. a binarized second
+                    # image) must not overwrite the primary file
+                    got.setdefault(entry[0], entry[1])
             # doc_id = Textract JSON basename (the unit the goldens and the
             # reference's own test walk key on); METS div IDs are XML-ID
             # mangled (leading digits get a letter prefix) so they are NOT
@@ -111,7 +125,15 @@ def parse_mets(mets_path: str) -> List[WorkspacePage]:
 
 def image_dims(path: str) -> Tuple[int, int]:
     """(width, height) from file headers alone: JPEG SOFn, TIFF IFD
-    256/257, PNG IHDR. Raises ValueError for anything else."""
+    256/257, PNG IHDR. Raises ValueError for any other format and for
+    truncated/corrupt headers (struct short-reads are wrapped)."""
+    try:
+        return _image_dims(path)
+    except struct.error as e:
+        raise ValueError(f"truncated image header: {path}") from e
+
+
+def _image_dims(path: str) -> Tuple[int, int]:
     with open(path, "rb") as f:
         head = f.read(32)
         if head[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF frame
@@ -123,6 +145,9 @@ def image_dims(path: str) -> Tuple[int, int]:
                 if marker[0] != 0xFF:
                     raise ValueError(f"bad JPEG marker in {path}")
                 code = marker[1]
+                if code == 0xFF:  # spec-legal fill byte; re-read the code
+                    f.seek(-1, os.SEEK_CUR)
+                    continue
                 if code in (0xD8, 0x01) or 0xD0 <= code <= 0xD7:
                     continue  # standalone markers, no length
                 seg_len = struct.unpack(">H", f.read(2))[0]
@@ -179,8 +204,14 @@ def workspace_doc_rows(
             continue
         wh: Optional[Tuple[int, int]] = None
         if page.image_path and os.path.exists(page.image_path):
-            wh = image_dims(page.image_path)
-        elif dims and page.page_id in dims:
+            try:
+                wh = image_dims(page.image_path)
+            except ValueError:
+                # unsniffable format (e.g. JPEG-2000) or corrupt header:
+                # fall through to caller-supplied dims rather than dying —
+                # one bad image must not kill the corpus build
+                wh = None
+        if wh is None and dims and page.page_id in dims:
             wh = tuple(dims[page.page_id])
         if wh is None:
             continue

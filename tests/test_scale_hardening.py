@@ -184,6 +184,46 @@ def test_oversized_payload_quarantined_not_crashed(spark):
     assert 0 < flipped < len(mixed)
 
 
+def test_oversize_guard_covers_renderer_and_splitter(spark):
+    """The Arrow-row-limit cap defaults inside assemble_payload, so EVERY
+    consumer is contained — render_pagexml_df quarantines an over-cap doc
+    (it never builds the payload string), split_multipage quarantines it
+    with the precise PayloadTooLarge reason, and under-cap docs are
+    untouched in both."""
+    from t2p_spark.fixtures import fixture_doc_rows
+    from t2p_spark.ingest import split_multipage
+    from t2p_spark.render_xml import render_pagexml_df
+
+    docs = spark.createDataFrame(
+        list(fixture_doc_rows(chunk_size=1 << 20)), schema=DOCS_SCHEMA)
+    base_r = {r["doc_id"]: r for r in render_pagexml_df(docs).collect()}
+    base_s = {r["doc_id"]: r["status"]
+              for r in split_multipage(docs).collect()}
+
+    from t2p_spark.pipeline import extract
+    sizes = {r["doc_id"]: int(r["error"].split()[1])
+             for r in extract(docs, max_payload_bytes=1).collect()}
+    cap = sorted(sizes.values())[len(sizes) // 2]
+
+    rend = {r["doc_id"]: r for r in
+            render_pagexml_df(docs, max_payload_bytes=cap).collect()}
+    split = {r["doc_id"]: r for r in
+             split_multipage(docs, max_payload_bytes=cap).collect()}
+    over = under = 0
+    for d, size in sizes.items():
+        if size > cap:
+            over += 1
+            assert rend[d]["status"] == "quarantined"
+            assert rend[d]["canon_md5"] == ""
+            assert split[d]["status"] == "quarantined"
+            assert split[d]["error"].startswith("PayloadTooLarge")
+        else:
+            under += 1
+            assert rend[d] == base_r[d]
+            assert split[d]["status"] == base_s[d]
+    assert over and under
+
+
 def test_kernel_reenables_gc():
     """The kernel must leave the worker's gc enabled after the batch loop
     (convert.py builds reference cycles; a permanently disabled collector

@@ -33,7 +33,10 @@ def test_seq_pack_two_level_cumsum_invariant_and_exact(spark):
     across buckets — the regime where a wrong bucket join or offset
     window would misplace starts."""
     rows = [
-        (i * 137, "s%d" % (i % 3), 0,
+        # every 7th doc has a NULL source: PARTITION BY groups NULLs into
+        # one window partition, so the two-level bucket join must be
+        # null-safe (<=>) or those docs silently vanish from the plan
+        (i * 137, None if i % 7 == 0 else "s%d" % (i % 3), 0,
          " ".join(f"w{i}t{j}" for j in range(1 + (i * 7) % 23)))
         for i in range(60)
     ]
@@ -57,13 +60,16 @@ def test_seq_pack_two_level_cumsum_invariant_and_exact(spark):
             textkit.ensure_documents_tok(spark, force=True)
             for name in ("seq_pack_plan", "seq_pack_stats"):
                 got = spark.sql(textkit.spark_sql_queries()[name])
-                results.setdefault(name, []).append(
-                    sorted(tuple(r) for r in got.collect()))
+                results.setdefault(name, []).append(sorted(
+                    (tuple(r) for r in got.collect()),
+                    key=lambda t: tuple((v is None, v) for v in t)))
         for name, (a, b) in results.items():
             assert a == b, name
         # two-level == naive single window, value by value
         naive_end = {r["doc_id"]: r["cum_end"]
                      for r in spark.sql(naive).collect()}
+        # same doc set — a non-null-safe bucket join drops NULL sources
+        assert {r[0] for r in results["seq_pack_plan"][0]} == set(naive_end)
         for r in results["seq_pack_plan"][0]:
             doc_id, _, n_tok, seq_idx, seq_offset, end_seq_idx = r
             cum_end = naive_end[doc_id]

@@ -62,6 +62,69 @@ def test_workspace_rows_equal_fixture_rows():
         assert gspans == wspans, gid
 
 
+def test_richer_workspace_resilience(tmp_path):
+    """Workspaces richer than the reference fixture must not break
+    resolution: (a) an ALTO/text fptr in the page div never shadows the
+    Textract JSON (unknown mimetypes are ignored, first-of-kind wins);
+    (b) an unsniffable materialized image (e.g. JPEG-2000) falls back to
+    caller dims instead of crashing; (c) a truncated JPEG raises
+    ValueError, not struct.error."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    (ws / "doc.json").write_text("{}")
+    (ws / "doc.xml").write_text("<alto/>")
+    # JP2 signature box: unsniffable by the header sniffer
+    (ws / "doc.jp2").write_bytes(
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 32)
+    (ws / "mets.xml").write_text("""<?xml version="1.0"?>
+<mets xmlns="http://www.loc.gov/METS/"
+      xmlns:xlink="http://www.w3.org/1999/xlink">
+ <fileSec><fileGrp USE="ALL">
+  <file ID="f-alto" MIMETYPE="text/xml">
+   <FLocat xlink:href="doc.xml"/></file>
+  <file ID="f-json" MIMETYPE="application/json">
+   <FLocat xlink:href="doc.json"/></file>
+  <file ID="f-img" MIMETYPE="image/jp2">
+   <FLocat xlink:href="doc.jp2"/></file>
+ </fileGrp></fileSec>
+ <structMap TYPE="PHYSICAL"><div TYPE="physSequence">
+  <div TYPE="page" ID="p1">
+   <fptr FILEID="f-alto"/><fptr FILEID="f-json"/><fptr FILEID="f-img"/>
+  </div>
+ </div></structMap>
+</mets>""")
+
+    pages = workspace.parse_mets(str(ws / "mets.xml"))
+    assert len(pages) == 1
+    # the ALTO fptr (earlier in the div) must not have shadowed the JSON
+    assert pages[0].textract_path.endswith("doc.json")
+    assert pages[0].page_id == "doc"
+    assert pages[0].image_path.endswith("doc.jp2")
+
+    # materialized-but-unsniffable image: caller dims win, no crash
+    rows = list(workspace.workspace_doc_rows(
+        str(ws / "mets.xml"), dims={"doc": (425, 600)}))
+    assert [r[0] for r in rows] == ["doc"]
+    # no dims fallback -> the page is skipped, still no crash
+    assert list(workspace.workspace_doc_rows(str(ws / "mets.xml"))) == []
+
+    # truncated JPEG: ValueError (documented), never struct.error
+    trunc = ws / "trunc.jpg"
+    trunc.write_bytes(b"\xff\xd8\xff\xe0\x00")
+    try:
+        workspace.image_dims(str(trunc))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # JPEG with spec-legal 0xFF fill bytes before the SOF marker
+    fill = ws / "fill.jpg"
+    fill.write_bytes(
+        b"\xff\xd8" + b"\xff\xff\xff"
+        + b"\xc0\x00\x11\x08\x02\x58\x01\xa9" + b"\x00" * 12)
+    assert workspace.image_dims(str(fill)) == (425, 600)
+
+
 def test_workspace_rows_skip_unresolvable_pages():
     """Without a dims fallback, only pages with a materialized image
     resolve — the contract of an offline partial workspace copy."""
@@ -70,3 +133,25 @@ def test_workspace_rows_skip_unresolvable_pages():
                     if p.image_path and os.path.exists(p.image_path)}
     assert sorted(got) == sorted(materialized)
     assert len(got) >= 3
+
+
+def test_dist_zip_matches_tree():
+    """dist/t2p_spark.zip is the --py-files artifact README tells cluster
+    users to submit; a stale zip means executors run DIFFERENT code than
+    the driver plans against (silent skew). Every package module must be
+    present and byte-identical. Rebuild: python tools/package.py."""
+    import hashlib
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zf = zipfile.ZipFile(os.path.join(repo, "dist", "t2p_spark.zip"))
+    names = set(zf.namelist())
+    for fn in os.listdir(os.path.join(repo, "t2p_spark")):
+        if not fn.endswith(".py"):
+            continue
+        rel = f"t2p_spark/{fn}"
+        assert rel in names, f"{rel} missing from dist zip — rebuild it"
+        with open(os.path.join(repo, rel), "rb") as f:
+            assert (hashlib.md5(f.read()).hexdigest()
+                    == hashlib.md5(zf.read(rel)).hexdigest()), \
+                f"{rel} is stale in dist zip — run python tools/package.py"
