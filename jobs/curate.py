@@ -24,6 +24,10 @@ def main() -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-shards", type=int, default=None)
     ap.add_argument("--shuffle-partitions", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="verify shard partitions already on disk against "
+                         "the recomputed manifest; rewrite only "
+                         "missing/mismatching shards")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,12 +43,12 @@ def main() -> int:
 
     t0 = time.monotonic()
     s = run_curation_job(spark, args.input, args.output,
-                         n_shards=args.n_shards)
+                         n_shards=args.n_shards, resume=args.resume)
     dt = time.monotonic() - t0
     print(f"curate input={args.input} docs={s['n_input']} "
           f"kept_train={s['n_kept_train']} chunks={s['n_chunks']} "
-          f"shards={s['n_shards']} tokens={s['total_tokens']} "
-          f"wall={dt:.2f}s")
+          f"shards={s['n_shards']} shards_written={s['n_shards_written']} "
+          f"tokens={s['total_tokens']} wall={dt:.2f}s")
     spark.stop()
     return 0
 

@@ -52,11 +52,19 @@ def _fp60_expr() -> str:
 
 
 def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
-                     n_shards: int = None) -> dict:
+                     n_shards: int = None, resume: bool = False) -> dict:
     """Execute the curation pipeline; returns summary counters.
 
     Raises RuntimeError if the post-write manifest does not match the
-    pre-write accounting (the write-integrity gate)."""
+    pre-write accounting (the write-integrity gate).
+
+    ``resume=True`` (the restart path after a crashed run): the shard
+    assignment is a pure function of the input, so the expected per-shard
+    manifest is recomputed, every shard partition already on disk is
+    verified against it, and ONLY missing/mismatching shards are rewritten
+    (dynamic partition overwrite — same unit-of-restart design as
+    jobs/extract.py's bucket resume). A corrupt or partial shard can never
+    survive: it fails the digest compare and is rewritten."""
     from t2p_spark.relational import register_views
     from t2p_spark.textkit import (
         N_SHARDS, materialize_curation_stages, prepare_textkit_views,
@@ -101,23 +109,53 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
         f"SELECT {_shard_expr(nsh)} AS shard_id, doc_id, chunk_idx, "
         f"n_chunk_tokens, chunk_md5, {_fp60_expr()} AS fp60 "
         f"FROM kept_chunks")
+    sharded.createOrReplaceTempView("prewrite_shards")
     shards_path = os.path.join(out_dir, "shards")
-    (sharded.repartition(nsh, "shard_id")
-     .write.mode("overwrite").partitionBy("shard_id").parquet(shards_path))
-
-    # 5. manifest FROM THE WRITTEN FILES, cross-checked against the
-    # pre-write accounting (order-free digests are mergeable, so both
-    # sides are one map-side-combined aggregate)
     manifest_sql = ("SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
                     "CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens, "
                     "CAST(BIT_XOR(fp60) AS BIGINT) AS content_fp60 "
                     "FROM {src} GROUP BY shard_id")
+    expected = spark.sql(manifest_sql.format(src="prewrite_shards"))
+    e_rows = sorted(tuple(r) for r in expected.collect())
+
+    n_resumed = 0
+    done: set = set()
+    if resume and os.path.isdir(shards_path):
+        # verify each shard partition already on disk against the
+        # recomputed expected manifest; digests, not existence, decide
+        try:
+            spark.read.parquet(shards_path) \
+                .createOrReplaceTempView("written_shards")
+            on_disk = {r[0]: tuple(r) for r in spark.sql(
+                manifest_sql.format(src="written_shards")).collect()}
+        except Exception:  # noqa: BLE001 — unreadable partial dir
+            on_disk = {}
+        done = {e[0] for e in e_rows if on_disk.get(e[0]) == e}
+    if resume and done:
+        todo = sorted({e[0] for e in e_rows} - done)
+        n_resumed = len(todo)
+        if todo:
+            # rewrite exactly the missing/mismatching shard partitions
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            in_list = ", ".join(str(s) for s in todo)
+            (sharded.where(f"shard_id IN ({in_list})")
+             .repartition(max(len(todo), 1), "shard_id")
+             .write.mode("overwrite").partitionBy("shard_id")
+             .parquet(shards_path))
+    else:
+        n_resumed = len(e_rows)
+        (sharded.repartition(nsh, "shard_id")
+         .write.mode("overwrite").partitionBy("shard_id")
+         .parquet(shards_path))
+
+    # 5. manifest FROM THE WRITTEN FILES, cross-checked against the
+    # pre-write accounting (order-free digests are mergeable, so both
+    # sides are one map-side-combined aggregate) — resume or not, EVERY
+    # shard on disk must match before a manifest is published
     spark.read.parquet(shards_path).createOrReplaceTempView("written_shards")
     written = spark.sql(manifest_sql.format(src="written_shards"))
-    sharded.createOrReplaceTempView("prewrite_shards")
-    expected = spark.sql(manifest_sql.format(src="prewrite_shards"))
     w_rows = sorted(tuple(r) for r in written.collect())
-    e_rows = sorted(tuple(r) for r in expected.collect())
     if w_rows != e_rows:
         raise RuntimeError(
             f"shard manifest mismatch: written {w_rows} != expected {e_rows}")
@@ -131,5 +169,6 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
         "n_chunks": sum(r[1] for r in w_rows),
         "n_shards": len(w_rows),
         "total_tokens": sum(r[2] for r in w_rows),
+        "n_shards_written": n_resumed,
         "funnel": funnel_rows,
     }

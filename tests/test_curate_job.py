@@ -64,6 +64,51 @@ def test_shards_and_manifest_integrity(job_out):
         assert (m[1], m[2], m[3]) == (n_chunks, tokens, fp), shard_id
 
 
+def test_resume_rewrites_only_damaged_shards(spark, job_out, tmp_path):
+    """Shard-level resume (the extract job's bucket-resume design): after
+    a crash that loses one shard partition and corrupts another, --resume
+    must rewrite exactly those two and leave every intact shard's files
+    untouched, ending byte-identical to the clean run's manifest."""
+    import os
+    import shutil
+
+    out, s = job_out
+    # work on a copy so the module-scoped fixture stays intact
+    my = str(tmp_path / "curated")
+    shutil.copytree(out, my)
+    clean = sorted(tuple(r) for r in
+                   spark.read.parquet(f"{my}/manifest").collect())
+
+    shutil.rmtree(f"{my}/shards/shard_id=3")           # lost shard
+    victim_dir = f"{my}/shards/shard_id=5"             # corrupted shard
+    victim = sorted(f for f in os.listdir(victim_dir)
+                    if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(victim_dir, victim))
+    intact_files = {
+        sid: sorted(os.listdir(f"{my}/shards/shard_id={sid}"))
+        for sid in range(s["n_shards"]) if sid not in (3, 5)
+    }
+    intact_mtimes = {
+        sid: [os.path.getmtime(f"{my}/shards/shard_id={sid}/{f}")
+              for f in fs] for sid, fs in intact_files.items()
+    }
+
+    s2 = run_curation_job(spark, SF, my, resume=True)
+    assert s2["n_shards_written"] == 2  # exactly the damaged shards
+    # untouched shards: same files, same mtimes (not rewritten)
+    for sid, fs in intact_files.items():
+        assert sorted(os.listdir(f"{my}/shards/shard_id={sid}")) == fs
+        assert [os.path.getmtime(f"{my}/shards/shard_id={sid}/{f}")
+                for f in fs] == intact_mtimes[sid]
+    # final manifest == the clean run's
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(f"{my}/manifest").collect()) == clean
+
+    # fully-intact resume: verifies everything, writes nothing
+    s3 = run_curation_job(spark, SF, my, resume=True)
+    assert s3["n_shards_written"] == 0
+
+
 def test_chunks_cover_only_kept_train_docs(spark, job_out):
     out, s = job_out
     shard_docs = {r["doc_id"] for r in
