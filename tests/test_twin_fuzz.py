@@ -53,7 +53,11 @@ def corpus(draw):
     for i in range(n):
         doc_id = draw(st.integers(min_value=0, max_value=200))
         text = " ".join(draw(word_list))
-        rows.append((doc_id, "s%d" % (doc_id % 3), len(text), text))
+        # NULL sources are legal corpus rows: every twin must agree on
+        # NULL grouping/partitioning/joining (r6: a non-null-safe bucket
+        # join silently dropped them from seq_pack_plan)
+        source = None if doc_id % 5 == 0 else "s%d" % (doc_id % 3)
+        rows.append((doc_id, source, len(text), text))
     # ALWAYS plant a long base doc + its exact duplicate + a one-token
     # near-duplicate: guarantees non-empty outputs from the pair/LSH
     # operators (colliding minhash bands, hamming-close simhashes,
