@@ -87,6 +87,10 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # row-count-bounded reader batches balloon on huge-string corpora
+        # (4096 rows x MB-scale payloads = 100MB+ reservations per task);
+        # 256 bounds the allocation burst — see jobs/extract.py
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -46,6 +46,16 @@ def main() -> int:
                     help="spark.sql.files.maxPartitionBytes override; "
                          "smaller splits balance doc-size skew (e.g. 16m "
                          "for JSON-heavy corpora)")
+    ap.add_argument("--reader-batch-rows", default="256",
+                    help="spark.sql.parquet.columnarReaderBatchSize. The "
+                         "default 4096 is row-count-bounded, so on huge-"
+                         "string corpora one reader batch reserves "
+                         "rows x payload bytes (measured 134MB+ per task "
+                         "here; x concurrent tasks = a multi-GB allocation "
+                         "burst that anti-scales the scan and OOMs small "
+                         "heaps). 256 bounds the burst; measured 5.3x "
+                         "faster at local[16] on the 64k skew corpus with "
+                         "identical output")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +67,8 @@ def main() -> int:
         SparkSession.builder.appName(f"t2p-extract-{args.run_id}")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.parquet.columnarReaderBatchSize",
+                args.reader_batch_rows)
     )
     if args.max_partition_bytes:
         builder = builder.config(
