@@ -3,8 +3,10 @@
     spark-submit --master local[8] jobs/curate.py \
         --input /root/testdata/sf0.001 --output /tmp/curated [--n-shards 8]
 
-Prints one summary line:
-    curate input=<sf_dir> docs=N kept_train=K chunks=C shards=S tokens=T wall=Ws
+Prints one summary line (shards_written = partitions actually written
+this run; < S on a --resume that found intact shards):
+    curate input=<sf_dir> docs=N kept_train=K chunks=C shards=S \
+        shards_written=W tokens=T wall=Ws
 """
 
 from __future__ import annotations

@@ -118,9 +118,12 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
     expected = spark.sql(manifest_sql.format(src="prewrite_shards"))
     e_rows = sorted(tuple(r) for r in expected.collect())
 
+    from t2p_spark.checkpoint import _exists
+
     n_resumed = 0
     done: set = set()
-    if resume and os.path.isdir(shards_path):
+    on_disk: dict = {}
+    if resume and _exists(spark, shards_path):  # remote-fs-safe existence
         # verify each shard partition already on disk against the
         # recomputed expected manifest; digests, not existence, decide
         try:
@@ -130,6 +133,19 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
                 manifest_sql.format(src="written_shards")).collect()}
         except Exception:  # noqa: BLE001 — unreadable partial dir
             on_disk = {}
+        # fail fast on a layout change (extract's bucket-modulus analogue):
+        # dynamic overwrite can never DELETE a stale partition outside the
+        # expected set, so resuming across an --n-shards change would leave
+        # orphan shards and fail the gate unrecoverably. Make the cause
+        # explicit instead.
+        stale = sorted(set(on_disk) - {e[0] for e in e_rows})
+        if stale:
+            raise ValueError(
+                f"shards/ holds shard_id={stale} outside the expected "
+                f"0..{nsh - 1} layout — the directory was written with a "
+                f"different --n-shards (or different input). Resume cannot "
+                f"reconcile a layout change; rerun without --resume to "
+                f"rewrite the output, or pass the original --n-shards.")
         done = {e[0] for e in e_rows if on_disk.get(e[0]) == e}
     if resume and done:
         todo = sorted({e[0] for e in e_rows} - done)
@@ -140,10 +156,14 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
                            "dynamic")
             in_list = ", ".join(str(s) for s in todo)
             (sharded.where(f"shard_id IN ({in_list})")
-             .repartition(max(len(todo), 1), "shard_id")
+             .repartition(len(todo), "shard_id")
              .write.mode("overwrite").partitionBy("shard_id")
              .parquet(shards_path))
     else:
+        # full write replaces the WHOLE directory (static overwrite):
+        # another job on this session may have left the session conf on
+        # dynamic, which would strand partitions from a previous layout
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
         n_resumed = len(e_rows)
         (sharded.repartition(nsh, "shard_id")
          .write.mode("overwrite").partitionBy("shard_id")
@@ -151,15 +171,36 @@ def run_curation_job(spark: SparkSession, sf_dir: str, out_dir: str,
 
     # 5. manifest FROM THE WRITTEN FILES, cross-checked against the
     # pre-write accounting (order-free digests are mergeable, so both
-    # sides are one map-side-combined aggregate) — resume or not, EVERY
-    # shard on disk must match before a manifest is published
-    spark.read.parquet(shards_path).createOrReplaceTempView("written_shards")
-    written = spark.sql(manifest_sql.format(src="written_shards"))
-    w_rows = sorted(tuple(r) for r in written.collect())
+    # sides are one map-side-combined aggregate). Every published manifest
+    # row is disk-verified; on resume the already-verified `done` digests
+    # are reused so intact shards are scanned ONCE, not twice — only the
+    # rewritten partitions are re-read for the gate.
+    if resume and done:
+        import pyspark.sql.functions as F
+
+        todo = sorted({e[0] for e in e_rows} - done)
+        if todo:
+            rewritten = (spark.read.parquet(shards_path)
+                         .where(F.col("shard_id").isin(todo)))
+            rewritten.createOrReplaceTempView("rewritten_shards")
+            fresh = {r[0]: tuple(r) for r in spark.sql(
+                manifest_sql.format(src="rewritten_shards")).collect()}
+        else:
+            fresh = {}
+        w_rows = sorted(list(fresh.values())
+                        + [on_disk[s] for s in done])
+    else:
+        spark.read.parquet(shards_path) \
+            .createOrReplaceTempView("written_shards")
+        written = spark.sql(manifest_sql.format(src="written_shards"))
+        w_rows = sorted(tuple(r) for r in written.collect())
     if w_rows != e_rows:
         raise RuntimeError(
             f"shard manifest mismatch: written {w_rows} != expected {e_rows}")
-    written.coalesce(1).write.mode("overwrite") \
+    manifest_df = spark.createDataFrame(
+        w_rows, "shard_id INT, n_chunks BIGINT, total_tokens BIGINT, "
+                "content_fp60 BIGINT")
+    manifest_df.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(out_dir, "manifest"))
 
     funnel_rows = {r["stage"]: r["n_docs"] for r in funnel.collect()}

@@ -108,6 +108,12 @@ def test_resume_rewrites_only_damaged_shards(spark, job_out, tmp_path):
     s3 = run_curation_job(spark, SF, my, resume=True)
     assert s3["n_shards_written"] == 0
 
+    # layout change: resuming with a smaller --n-shards must fail fast
+    # with the cause named (dynamic overwrite cannot delete the stale
+    # shards; silently rewriting would strand them and fail the gate)
+    with pytest.raises(ValueError, match="different --n-shards"):
+        run_curation_job(spark, SF, my, n_shards=4, resume=True)
+
 
 def test_chunks_cover_only_kept_train_docs(spark, job_out):
     out, s = job_out

@@ -68,6 +68,10 @@ def corpus(draw):
     rows.append((301, "s1", len(base), base))
     near = base + " " + draw(st.sampled_from(WORDS[:8]))
     rows.append((302, "s2", len(near), near))
+    # plant one NULL-source doc unconditionally (the random draws above
+    # only make one with probability ~0.2/doc): EVERY example must
+    # exercise NULL grouping/partitioning/joining
+    rows.append((303, None, len(base), base))
     # doc_ids must be unique: they are the documents table's key
     seen, uniq = set(), []
     for r in rows:
