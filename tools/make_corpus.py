@@ -22,6 +22,10 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--driver-memory", default="8g",
+                    help="JVM heap for the bucketing shuffle; 8g covers "
+                         "~100k docs, pass 40g for 256k+ (applies only when "
+                         "run bare — under spark-submit use its own flag)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,7 +58,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.appName("t2p-make-corpus")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", args.driver_memory)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .getOrCreate()
     )
