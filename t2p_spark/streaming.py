@@ -196,10 +196,13 @@ def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
         return _STAGED[key]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out_dir = tempfile.mkdtemp(prefix="t2p_events_stream_")
-    n = ev.count()
-    per = (n + n_chunks - 1) // n_chunks
     rn = F.row_number().over(Window.orderBy("ts", "event_id"))
-    chunked = ev.withColumn("_rn", rn)
+    # cache the ranked relation: each chunk write filters it, and without
+    # the cache every write re-runs the global (ts, event_id) sort —
+    # n_chunks full sorts for one staging pass (r7 optimization round)
+    chunked = ev.withColumn("_rn", rn).cache()
+    n = chunked.count()
+    per = (n + n_chunks - 1) // n_chunks
     # FileStreamSource orders files by mtime at ms resolution: two chunk
     # writes landing in the same millisecond could replay out of order and
     # break the time-order precondition above (the 2h watermark would then
@@ -216,6 +219,7 @@ def _stage_chronological_chunks(spark: SparkSession, sf_dir: str,
                 t = base_mtime + (i + 1) * 10.0
                 os.utime(os.path.join(out_dir, f), (t, t))
                 pinned.add(f)
+    chunked.unpersist()
     _STAGED[key] = (out_dir, ev.schema)
     return _STAGED[key]
 
@@ -427,14 +431,17 @@ def _stage_document_chunks(spark: SparkSession, sf_dir: str,
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .where("doc_id % 4 = 0"))
     out_dir = tempfile.mkdtemp(prefix="t2p_docs_stream_")
-    n = docs.count()
-    per = (n + n_chunks - 1) // n_chunks
     rn = F.row_number().over(Window.orderBy("doc_id"))
-    chunked = docs.withColumn("_rn", rn)
+    # cached for the same reason as the events staging: one sort, n_chunks
+    # cheap filtered writes
+    chunked = docs.withColumn("_rn", rn).cache()
+    n = chunked.count()
+    per = (n + n_chunks - 1) // n_chunks
     for i in range(n_chunks):
         (chunked
          .filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
          .drop("_rn").coalesce(1).write.mode("append").parquet(out_dir))
+    chunked.unpersist()
     _STAGED[key] = (out_dir, docs.schema)
     return _STAGED[key]
 
