@@ -427,9 +427,12 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
             SELECT doc_id, {sh4} AS sh FROM {tok_src} tk
           ) s WHERE {_asize("sh", e)} > 0
     """
-    # Spark reads tok_mat — the CACHED exploded (doc_id, shingle) relation
-    # (flat strings cache well; array<string> columns do not) — because the
-    # df-cap query walks the shingle relation three times (df, join sides).
+    # Spark reads tokcap_mat — the CACHED df-capped (doc_id, shingle)
+    # relation (flat strings cache well; array<string> columns do not) —
+    # because the Jaccard query walks the capped shingle stream three
+    # times (both self-join sides + sizes): inlined, the hot-shingle
+    # groupBy and anti-join re-ran per reference (r7: 3x a 255k-row
+    # shuffle at sf0.1; 3x a corpus-scale shuffle in production).
     explode = ("SELECT doc_id, shingle FROM tok_mat" if e == "s"
                else "SELECT doc_id, unnest(sh) AS shingle FROM docsh")
     docsh_ref = "docsh_mat" if e == "s" else f"({docsh_body})"
@@ -438,6 +441,17 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # fan-out at df^2 <= {cap}^2 rows instead of (corpus hot-key df)^2.
     # Jaccard is then computed over the capped shingle vocabulary (sizes
     # count surviving shingles), so |A∩B| <= |A∪B| stays invariant.
+    # (Spark: the cap lives in the tokcap_mat BUILD — _tokcap_build_sql —
+    # so prepare_textkit_views must receive the same jaccard_max_df
+    # preset; the DuckDB twin keeps the cap inline.)
+    if e == "s":
+        tok_cte = "tok AS (SELECT doc_id, shingle FROM tokcap_mat)"
+    else:
+        tok_cte = f"""tok AS (
+          SELECT t.doc_id, t.shingle
+          FROM tok_all t
+          WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = t.shingle)
+        )"""
     q["ngram_jaccard_pairs"] = f"""
         WITH docsh AS (SELECT * FROM {docsh_ref} d0),
         tok_all AS ({explode}),
@@ -446,11 +460,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
           GROUP BY shingle
           HAVING COUNT(*) > {jac_cap}
         ),
-        tok AS (
-          SELECT t.doc_id, t.shingle
-          FROM tok_all t
-          WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = t.shingle)
-        ),
+        {tok_cte},
         sizes AS (
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
           FROM tok GROUP BY doc_id
@@ -831,8 +841,13 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                  else "CAST(doc_id AS VARCHAR)")
     split_expr = (f"CASE WHEN {_hash60(docid_str, e)} % 100 < 80 "
                   f"THEN 'train' ELSE 'test' END")
+    # Spark reads the cached documents_tok projection (1:1 with documents,
+    # r7): the split is consumed by the funnel/leakage composites, which
+    # would otherwise re-scan parquet per evaluation. DuckDB keeps the
+    # direct scan.
+    split_src = "documents_tok" if e == "s" else "documents"
     q["sample_split"] = f"""
-        SELECT doc_id, {split_expr} AS split FROM documents
+        SELECT doc_id, {split_expr} AS split FROM {split_src}
     """
 
     # TF-IDF top terms per document — the classic corpus-weighting
@@ -932,7 +947,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # equi-join) with the split projection: two cheap hash joins on doc_id.
     q["split_leakage"] = f"""
         WITH pairs AS ({q['dedup_minhash_lsh']}),
-        splits AS (SELECT doc_id, {split_expr} AS split FROM documents)
+        splits AS (SELECT doc_id, {split_expr} AS split FROM {split_src})
         SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
         FROM pairs p
         JOIN splits sa ON sa.doc_id = p.doc_a
@@ -955,7 +970,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                    ORDER BY {_hash60(docid_str, e)}, doc_id
                  ) AS rnk,
                  COUNT(*) OVER (PARTITION BY source) AS n_source
-          FROM documents
+          FROM {split_src}
         )
         SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
                CAST(n_source AS BIGINT) AS n_source
@@ -1185,8 +1200,9 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # of left joins + cumulative pass flags. The report aggregates by
     # ROLLUP(split) — per-split rows AND the grand-total row in one
     # aggregate — and a single explode over that tiny relation emits both
-    # the five stage totals (from the total row; ROLLUP yields it even on
-    # an empty corpus) and the 5_split rows, so NOTHING in the funnel is
+    # the five stage totals and the 5_split rows (a zero-weight sentinel
+    # row keeps the grand-total group alive on an empty corpus, where
+    # Expand would otherwise emit nothing) and the 5_split rows, so NOTHING in the funnel is
     # referenced twice: one evaluation, one plan. Gate semantics preserved
     # exactly: NOT EXISTS == row IS NULL OR row is clean; the 5_split
     # branch emits only splits with surviving docs (n4 > 0), as the inner
@@ -1215,19 +1231,24 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                        AND (k.doc_id IS NULL OR k.decision <> 'drop')
                       THEN 1 ELSE 0 END AS p4,
                  sp.split
-          FROM documents d
+          FROM documents_tok d
           LEFT JOIN cf ON cf.doc_id = d.doc_id
           LEFT JOIN rep r ON r.doc_id = d.doc_id
           LEFT JOIN cont c ON c.doc_id = d.doc_id
           LEFT JOIN keepl k ON k.doc_id = d.doc_id
           LEFT JOIN spl sp ON sp.doc_id = d.doc_id
         ),
+        f2 AS (
+          SELECT 1 AS one, p1, p2, p3, p4, split FROM f
+          UNION ALL
+          SELECT 0, 0, 0, 0, 0, CAST(NULL AS STRING)
+        ),
         agg AS (
           SELECT GROUPING(split) AS g, split,
-                 COUNT(*) AS n_all,
+                 COALESCE(SUM(one), 0) AS n_all,
                  COALESCE(SUM(p1), 0) AS n1, COALESCE(SUM(p2), 0) AS n2,
                  COALESCE(SUM(p3), 0) AS n3, COALESCE(SUM(p4), 0) AS n4
-          FROM f GROUP BY ROLLUP(split)
+          FROM f2 GROUP BY ROLLUP(split)
         )
         SELECT s.stage, CAST(s.n_docs AS BIGINT) AS n_docs FROM (
           SELECT explode(
@@ -1300,6 +1321,13 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # UNION branch (measured 9.8 s warm at sf0.1 vs ~1 s for this shape).
     # Gate semantics preserved exactly: a doc passes unless its stage row
     # exists AND flags it (NOT EXISTS == row IS NULL OR row is clean).
+    # r7: same one-pass report shape as curate_attrition above — the
+    # previous stack + UNION branch referenced ``f`` twice, so the whole
+    # 5-join pipeline (and its AQE stage-by-stage scheduling) ran twice
+    # per report. ROLLUP(split) + one explode emits the stage totals and
+    # the per-split rows from a single evaluation; reading documents_tok
+    # (the cached projection, 1:1 with documents) skips the per-report
+    # parquet re-scan.
     if e == "s":
         q["curate_attrition_incr"] = """
         WITH f AS (
@@ -1318,29 +1346,41 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
                        AND (k.doc_id IS NULL OR k.decision <> 'drop')
                       THEN 1 ELSE 0 END AS p4,
                  sp.split
-          FROM documents d
+          FROM documents_tok d
           LEFT JOIN cf_mat cf ON cf.doc_id = d.doc_id
           LEFT JOIN rep_mat r ON r.doc_id = d.doc_id
           LEFT JOIN cont_mat c ON c.doc_id = d.doc_id
           LEFT JOIN keepl_mat k ON k.doc_id = d.doc_id
           LEFT JOIN spl_mat sp ON sp.doc_id = d.doc_id
-        )
-        SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
-          SELECT stack(5,
-                   '0_input', n0,
-                   '1_corpus_filter', n1,
-                   '2_repetition', n2,
-                   '3_contamination', n3,
-                   '4_near_dedup', n4) AS (stage, n_docs)
-          FROM (SELECT COUNT(*) AS n0,
-                       COALESCE(SUM(p1), 0) AS n1,
-                       COALESCE(SUM(p2), 0) AS n2,
-                       COALESCE(SUM(p3), 0) AS n3,
-                       COALESCE(SUM(p4), 0) AS n4 FROM f) a
+        ),
+        f2 AS (
+          SELECT 1 AS one, p1, p2, p3, p4, split FROM f
           UNION ALL
-          SELECT concat('5_split_', split) AS stage, COUNT(*) AS n_docs
-          FROM f WHERE p4 = 1 AND split IS NOT NULL GROUP BY split
-        ) u
+          SELECT 0, 0, 0, 0, 0, CAST(NULL AS STRING)
+        ),
+        agg AS (
+          SELECT GROUPING(split) AS g, split,
+                 COALESCE(SUM(one), 0) AS n_all,
+                 COALESCE(SUM(p1), 0) AS n1, COALESCE(SUM(p2), 0) AS n2,
+                 COALESCE(SUM(p3), 0) AS n3, COALESCE(SUM(p4), 0) AS n4
+          FROM f2 GROUP BY ROLLUP(split)
+        )
+        SELECT s.stage, CAST(s.n_docs AS BIGINT) AS n_docs FROM (
+          SELECT explode(
+            CASE WHEN g = 1 THEN array(
+                   named_struct('stage', '0_input', 'n_docs', n_all),
+                   named_struct('stage', '1_corpus_filter', 'n_docs', n1),
+                   named_struct('stage', '2_repetition', 'n_docs', n2),
+                   named_struct('stage', '3_contamination', 'n_docs', n3),
+                   named_struct('stage', '4_near_dedup', 'n_docs', n4))
+                 WHEN split IS NOT NULL AND n4 > 0 THEN array(
+                   named_struct('stage', concat('5_split_', split),
+                                'n_docs', n4))
+                 ELSE CAST(array()
+                           AS ARRAY<STRUCT<stage: STRING, n_docs: BIGINT>>)
+            END) AS s
+          FROM agg
+        ) ex
         """
     else:
         q["curate_attrition_incr"] = q["curate_attrition"]
@@ -1710,16 +1750,19 @@ def lsh_pairs_build_sql(n_minhash: int = None) -> str:
     n_mh = N_MINHASH if n_minhash is None else n_minhash
     band_keys = ", ".join(f"concat(sig_{2*i}, sig_{2*i+1})"
                           for i in range(n_mh // 2))
-    return f"""
-        WITH bands AS (
+    # subquery form, not WITH: a CTERelation inside a cached plan defeats
+    # CacheManager's canonicalized match on later view references (the
+    # tokcap_mat note in prepare_textkit_views)
+    bands = f"""(
           SELECT doc_id, band, key FROM (
             SELECT doc_id,
                    posexplode(array({band_keys})) AS (band, key)
             FROM sigs_mat
           )
-        )
+        )"""
+    return f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM {bands} a JOIN {bands} b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
 
@@ -1987,19 +2030,30 @@ def materialize_curation_stages(spark: SparkSession) -> None:
             df.unpersist()
     ensure_cc_mat(spark)
     sqls = spark_sql_queries()
-    mats = []
-    for view, qname in _CURATION_STAGES:
-        df = spark.sql(sqls[qname]).cache()
-        df.count()  # force: the stage table now exists, like a real run
+    # The five gate builds are independent jobs (cc_mat, their only shared
+    # dependency, is materialized above): submit them from a small driver
+    # thread pool so each job's task tail back-fills the executors freed
+    # by the others (guide §2.6) — a real curation schedule runs the gate
+    # jobs concurrently too. Plans are constructed on the caller's thread;
+    # only the count() actions run in the pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    mats = [spark.sql(sqls[qname]).cache() for _view, qname in
+            _CURATION_STAGES]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda df: df.count(), mats))
+    for (view, _qname), df in zip(_CURATION_STAGES, mats):
         df.createOrReplaceTempView(view)
-        mats.append(df)
     _TOK_CACHE[key] = mats
 
 
 def prepare_textkit_views(spark: SparkSession, name: str,
-                          n_minhash: int = None) -> None:
+                          n_minhash: int = None,
+                          jaccard_max_df: int = None) -> None:
     """Materialize the helper views a textkit query reads, over whatever
-    ``documents`` view is currently registered (tests use synthetic ones)."""
+    ``documents`` view is currently registered (tests use synthetic ones).
+    Preset callers must pass the SAME n_minhash / jaccard_max_df they gave
+    spark_sql_queries — the knobs live in the materialized builds."""
     # dedup_exact and pii_scrub work on raw text, no token views needed
     if name not in ("dedup_exact", "pii_scrub"):
         ensure_documents_tok(spark)
@@ -2018,6 +2072,7 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     elif name == "curate_attrition_incr":
         materialize_curation_stages(spark)
     elif name == "ngram_jaccard_pairs":
+        cap = JACCARD_MAX_DF if jaccard_max_df is None else jaccard_max_df
         sh4 = _adistinct(_shingles("toks", 4, "s"), "s")
         spark.sql(f"""
             SELECT doc_id, sh FROM (
@@ -2028,3 +2083,18 @@ def prepare_textkit_views(spark: SparkSession, name: str,
             spark, "tok_mat",
             lambda: spark.sql(
                 "SELECT doc_id, explode(sh) AS shingle FROM docsh_mat"))
+        # NOTE: no WITH/CTE in a cached build — a CTERelation inside the
+        # cached plan defeats CacheManager's canonicalized-plan match when
+        # the view is referenced from another query, silently recomputing
+        # the build per reference (observed r7)
+        _ensure_cached_view(
+            spark, "tokcap_mat",
+            lambda: spark.sql(f"""
+                SELECT t.doc_id, t.shingle FROM tok_mat t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM (SELECT shingle FROM tok_mat
+                                 GROUP BY shingle
+                                 HAVING COUNT(*) > {cap}) h
+                  WHERE h.shingle = t.shingle)
+            """),
+            extra_key=(cap,))

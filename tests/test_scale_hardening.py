@@ -392,7 +392,8 @@ def test_textkit_presets_keep_twin_parity(spark):
     for name in ("minhash_signatures", "dedup_minhash_lsh",
                  "simhash_neardup_pairs", "ngram_jaccard_pairs",
                  "substring_dedup"):
-        prepare_textkit_views(spark, name, n_minhash=preset["n_minhash"])
+        prepare_textkit_views(spark, name, n_minhash=preset["n_minhash"],
+                              jaccard_max_df=preset["jaccard_max_df"])
         sdf = spark.sql(sq[name])
         got = sorted(tuple(r) for r in sdf.collect())
         want = sorted(tuple(r) for r in con.sql(dq[name]).fetchall())
