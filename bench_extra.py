@@ -106,6 +106,27 @@ def cmd_query(spark, names):
         spark.sparkContext.setJobDescription(None)
 
 
+def _build_df(spark, name):
+    """Pseudo-queries for the materialized-relation BUILD plans (the
+    declared queries read the cached views; the builds carry the scale-
+    relevant join shapes the audit checks)."""
+    from t2p_spark import textkit
+    from t2p_spark.relational import register_views
+
+    register_views(spark, SF_DIR)
+    textkit.ensure_documents_tok(spark)
+    if name == "pairs_mat_build":
+        textkit.ensure_minhash_sigs(spark)
+        return spark.sql(textkit.lsh_pairs_build_sql())
+    if name == "sigs_mat_build":
+        from t2p_spark.textkit import _minhash_select
+        return spark.sql(_minhash_select("s"))
+    if name == "tokcap_mat_build":
+        textkit.prepare_textkit_views(spark, "ngram_jaccard_pairs")
+        return spark.sql(textkit.tokcap_build_sql())
+    raise KeyError(name)
+
+
 def cmd_plans(spark, tag, names):
     import __spark_entry__ as entrymod
 
@@ -114,7 +135,10 @@ def cmd_plans(spark, tag, names):
                           "plans", "r07")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
-        df = qs[name](spark, SF_DIR)
+        if name.endswith("_build"):
+            df = _build_df(spark, name)
+        else:
+            df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"))

@@ -1767,6 +1767,24 @@ def lsh_pairs_build_sql(n_minhash: int = None) -> str:
     """
 
 
+def tokcap_build_sql(cap: int = None) -> str:
+    """The df-capped (doc_id, shingle) stream behind ``tokcap_mat``
+    (ngram_jaccard_pairs). Subquery form, not WITH: a CTERelation inside
+    a cached plan defeats CacheManager's canonicalized-plan match when
+    the view is referenced from another query, silently recomputing the
+    build per reference (observed r7)."""
+    if cap is None:
+        cap = JACCARD_MAX_DF
+    return f"""
+        SELECT t.doc_id, t.shingle FROM tok_mat t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (SELECT shingle FROM tok_mat
+                         GROUP BY shingle
+                         HAVING COUNT(*) > {cap}) h
+          WHERE h.shingle = t.shingle)
+    """
+
+
 def ensure_minhash_sigs(spark: SparkSession,
                         n_minhash: int = None) -> DataFrame:
     """Materialize the MinHash signature relation (sigs_mat) once per
@@ -2083,18 +2101,7 @@ def prepare_textkit_views(spark: SparkSession, name: str,
             spark, "tok_mat",
             lambda: spark.sql(
                 "SELECT doc_id, explode(sh) AS shingle FROM docsh_mat"))
-        # NOTE: no WITH/CTE in a cached build — a CTERelation inside the
-        # cached plan defeats CacheManager's canonicalized-plan match when
-        # the view is referenced from another query, silently recomputing
-        # the build per reference (observed r7)
         _ensure_cached_view(
             spark, "tokcap_mat",
-            lambda: spark.sql(f"""
-                SELECT t.doc_id, t.shingle FROM tok_mat t
-                WHERE NOT EXISTS (
-                  SELECT 1 FROM (SELECT shingle FROM tok_mat
-                                 GROUP BY shingle
-                                 HAVING COUNT(*) > {cap}) h
-                  WHERE h.shingle = t.shingle)
-            """),
+            lambda: spark.sql(tokcap_build_sql(cap)),
             extra_key=(cap,))
