@@ -2046,22 +2046,33 @@ def materialize_curation_stages(spark: SparkSession) -> None:
                   and k[1] == skey]:
         for df in _TOK_CACHE.pop(stale):
             df.unpersist()
-    ensure_cc_mat(spark)
-    sqls = spark_sql_queries()
-    # The five gate builds are independent jobs (cc_mat, their only shared
-    # dependency, is materialized above): submit them from a small driver
-    # thread pool so each job's task tail back-fills the executors freed
-    # by the others (guide §2.6) — a real curation schedule runs the gate
-    # jobs concurrently too. Plans are constructed on the caller's thread;
-    # only the count() actions run in the pool.
+    # The gate builds are independent jobs; only the keep-list stage
+    # depends on the CC labels. Submit the four CC-independent gates from
+    # a small driver thread pool WHILE the CC resolution runs on this
+    # thread, then build the keep-list — each job's task tail back-fills
+    # the executors freed by the others (guide §2.6); a real curation
+    # schedule runs the gate jobs concurrently too. Plans are constructed
+    # on the caller's thread; only the count() actions run in the pool.
     from concurrent.futures import ThreadPoolExecutor
 
-    mats = [spark.sql(sqls[qname]).cache() for _view, qname in
-            _CURATION_STAGES]
+    sqls = spark_sql_queries()
+    indep = [(view, qname) for view, qname in _CURATION_STAGES
+             if qname != "dedup_keep_list"]
+    mats_by_view = {view: spark.sql(sqls[qname]).cache()
+                    for view, qname in indep}
     with ThreadPoolExecutor(max_workers=3) as pool:
-        list(pool.map(lambda df: df.count(), mats))
-    for (view, _qname), df in zip(_CURATION_STAGES, mats):
+        futures = [pool.submit(df.count) for df in mats_by_view.values()]
+        ensure_cc_mat(spark)
+        for f in futures:
+            f.result()
+    keepl = spark.sql(sqls["dedup_keep_list"]).cache()
+    keepl.count()
+    mats_by_view["keepl_mat"] = keepl
+    mats = []
+    for view, _qname in _CURATION_STAGES:
+        df = mats_by_view[view]
         df.createOrReplaceTempView(view)
+        mats.append(df)
     _TOK_CACHE[key] = mats
 
 
