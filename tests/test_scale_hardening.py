@@ -38,7 +38,8 @@ def _restore_views(spark):
         for d in (df if isinstance(df, list) else [df]):
             d.unpersist()
     for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat",
-              "tok_mat", "cf_mat", "rep_mat", "cont_mat", "keepl_mat",
+              "tok_mat", "tokcap_mat", "sigs_mat", "pairs_mat",
+              "cf_mat", "rep_mat", "cont_mat", "keepl_mat",
               "spl_mat", "cc_mat"):
         spark.catalog.dropTempView(v)
 
