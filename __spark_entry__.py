@@ -65,12 +65,44 @@ def _fixture_docs(spark: SparkSession) -> DataFrame:
 
 
 def _synth_docs(spark: SparkSession) -> DataFrame:
-    from t2p_spark.schema import DOCS_SCHEMA
-    from t2p_spark.synth import corpus_rows
+    """The 120-doc deterministic synth corpus, generated ON THE EXECUTORS
+    (guide §5: the driver should do almost no data work). row_for_index is
+    a pure function of (i, seed) — the same distributed staging bench.py
+    and tools/make_corpus.py use; the previous driver-side corpus_rows
+    loop + createDataFrame pickled ~22 MB of span payloads through py4j
+    (~2.5 s of the extract_synth_corpus cold time, measured r7)."""
 
-    return _memo_docs(spark, "synth120", lambda: spark.createDataFrame(
-        list(corpus_rows(120, seed=7, chunk_size=1 << 20)), schema=DOCS_SCHEMA
-    ))
+    def build() -> DataFrame:
+        import pyarrow as pa
+
+        def gen(batches):
+            from t2p_spark.synth import row_for_index
+
+            span_type = pa.list_(pa.struct([
+                ("kind", pa.string()), ("text", pa.string()),
+                ("media_ref", pa.string()), ("offset", pa.int32()),
+            ]))
+            for batch in batches:
+                ids, spans = [], []
+                for i in batch.column("id").to_pylist():
+                    doc_id, row_spans = row_for_index(
+                        int(i), seed=7, chunk_size=1 << 20)
+                    ids.append(doc_id)
+                    spans.append([
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in row_spans
+                    ])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, pa.string()), pa.array(spans, span_type)],
+                    names=["doc_id", "spans"],
+                )
+
+        return spark.range(120).mapInArrow(
+            gen,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+
+    return _memo_docs(spark, "synth120", build)
 
 
 def _fixture_media(spark: SparkSession) -> DataFrame:

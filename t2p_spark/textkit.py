@@ -1110,12 +1110,45 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     sh3 = _adistinct(_shingles("toks", 3, e), e)
     csh_body = f"SELECT doc_id, {sh3} AS sh FROM {tok_src} ct"
     if e == "s":
-        c_explode = f"SELECT doc_id, explode(sh) AS shingle FROM ({csh_body}) cx"
-        bcast = "/*+ BROADCAST(b) */ "
+        # r7: the csh CTE was referenced three times (bench + sizes +
+        # hits); Catalyst inlines deterministic CTEs, so the regex
+        # shingle build ran 3x per evaluation (and the funnel embeds this
+        # body once more). The distinct-shingle ARRAYS are materialized
+        # once per corpus as ``csh3_mat`` (ensure_csh3 — the
+        # tokcap/docsh pattern); consumers explode the cached arrays.
+        # ``sizes`` needs no explode at all: the arrays are distinct, so
+        # COUNT(*) over the exploded stream == size(sh) (zero-shingle
+        # docs gain a sizes row, invisible through the inner join).
+        # Exact same rows; the DuckDB twin below keeps the naive
+        # formulation, so the driver's hash compare proves it.
+        q["contamination_check"] = """
+        WITH bench AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT explode(sh) AS shingle FROM csh3_mat WHERE doc_id % 50 = 0
+          ) bx
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_shingles
+          FROM csh3_mat WHERE doc_id % 50 <> 0
+        ),
+        hits AS (
+          SELECT /*+ BROADCAST(b) */ c.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM (SELECT doc_id, explode(sh) AS shingle FROM csh3_mat
+                WHERE doc_id % 50 <> 0) c
+          JOIN bench b ON b.shingle = c.shingle
+          GROUP BY c.doc_id
+        )
+        SELECT h.doc_id, h.n_overlap, s.n_shingles,
+               CAST(FLOOR(h.n_overlap * 1000000.0 / s.n_shingles) AS BIGINT)
+                 AS overlap_x1e6,
+               CASE WHEN h.n_overlap * 5 >= s.n_shingles
+                    THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """
     else:
         c_explode = f"SELECT doc_id, unnest(sh) AS shingle FROM ({csh_body}) cx"
-        bcast = ""
-    q["contamination_check"] = f"""
+        q["contamination_check"] = f"""
         WITH csh AS ({c_explode}),
         bench AS (
           SELECT DISTINCT shingle FROM csh WHERE doc_id % 50 = 0
@@ -1128,7 +1161,7 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
           FROM cand GROUP BY doc_id
         ),
         hits AS (
-          SELECT {bcast}c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+          SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
           FROM cand c JOIN bench b ON b.shingle = c.shingle
           GROUP BY c.doc_id
         )
@@ -1329,29 +1362,63 @@ def _build(engine: str, n_minhash: int = None, simhash_bands: int = None,
     # (the cached projection, 1:1 with documents) skips the per-report
     # parquet re-scan.
     if e == "s":
+        # r7 follow-up: the 5-way left join built five broadcast relations
+        # per report (and at 100 TB the stage tables are corpus-sized —
+        # unbroadcastable, so the join shape degrades to six SMJ shuffles).
+        # corpus_filter emits one row for EVERY doc (no WHERE; 1:1 scan of
+        # documents_tok), so the funnel is a pure per-doc conjunction over
+        # the stage tables themselves: UNION the tagged flag rows and
+        # aggregate by doc_id — ONE shuffle of narrow (doc_id, flag) rows,
+        # zero joins, and the doc universe comes from the cf rows
+        # (guide §2.3 "aggregate before you shuffle" / §2.4). Flag
+        # polarity handles the absent-row semantics: a doc with no rep/
+        # cont/keepl row contributes no bad flag, MAX() = 0 = pass —
+        # exactly the old "row IS NULL OR row is clean". The DuckDB twin
+        # (below) keeps the chained NOT-EXISTS composition, so the
+        # driver's hash compare proves this shape equivalent.
         q["curate_attrition_incr"] = """
-        WITH f AS (
-          SELECT d.doc_id,
-                 CASE WHEN cf.verdict = 'keep' THEN 1 ELSE 0 END AS p1,
-                 CASE WHEN cf.verdict = 'keep'
-                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
-                      THEN 1 ELSE 0 END AS p2,
-                 CASE WHEN cf.verdict = 'keep'
-                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
-                       AND (c.doc_id IS NULL OR c.verdict <> 'contaminated')
-                      THEN 1 ELSE 0 END AS p3,
-                 CASE WHEN cf.verdict = 'keep'
-                       AND (r.doc_id IS NULL OR r.verdict = 'ok')
-                       AND (c.doc_id IS NULL OR c.verdict <> 'contaminated')
-                       AND (k.doc_id IS NULL OR k.decision <> 'drop')
-                      THEN 1 ELSE 0 END AS p4,
-                 sp.split
-          FROM documents_tok d
-          LEFT JOIN cf_mat cf ON cf.doc_id = d.doc_id
-          LEFT JOIN rep_mat r ON r.doc_id = d.doc_id
-          LEFT JOIN cont_mat c ON c.doc_id = d.doc_id
-          LEFT JOIN keepl_mat k ON k.doc_id = d.doc_id
-          LEFT JOIN spl_mat sp ON sp.doc_id = d.doc_id
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN verdict = 'keep' THEN 0 ELSE 1 END AS cf_bad,
+                 0 AS rep_bad, 0 AS cont_bad, 0 AS keep_bad,
+                 CAST(NULL AS INT) AS split_code
+          FROM cf_mat
+          UNION ALL
+          SELECT doc_id, 0,
+                 CASE WHEN verdict <> 'ok' THEN 1 ELSE 0 END, 0, 0,
+                 CAST(NULL AS INT)
+          FROM rep_mat
+          UNION ALL
+          SELECT doc_id, 0, 0,
+                 CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END, 0,
+                 CAST(NULL AS INT)
+          FROM cont_mat
+          UNION ALL
+          SELECT doc_id, 0, 0, 0,
+                 CASE WHEN decision = 'drop' THEN 1 ELSE 0 END,
+                 CAST(NULL AS INT)
+          FROM keepl_mat
+          UNION ALL
+          -- split carried as a tiny int code: MAX(string) forces a
+          -- SortAggregate buffer (two partial sorts of the whole union);
+          -- a fixed-width code keeps the group-by a HashAggregate. Each
+          -- doc has exactly ONE spl row, so MAX only ever sees one
+          -- non-null code — the encoding order can't matter.
+          SELECT doc_id, 0, 0, 0, 0,
+                 CASE WHEN split = 'train' THEN 1 ELSE 2 END
+          FROM spl_mat
+        ),
+        f AS (
+          SELECT doc_id,
+                 1 - MAX(cf_bad) AS p1,
+                 (1 - MAX(cf_bad)) * (1 - MAX(rep_bad)) AS p2,
+                 (1 - MAX(cf_bad)) * (1 - MAX(rep_bad))
+                   * (1 - MAX(cont_bad)) AS p3,
+                 (1 - MAX(cf_bad)) * (1 - MAX(rep_bad))
+                   * (1 - MAX(cont_bad)) * (1 - MAX(keep_bad)) AS p4,
+                 CASE MAX(split_code) WHEN 1 THEN 'train'
+                      WHEN 2 THEN 'test' END AS split
+          FROM u GROUP BY doc_id
         ),
         f2 AS (
           SELECT 1 AS one, p1, p2, p3, p4, split FROM f
@@ -1785,6 +1852,23 @@ def tokcap_build_sql(cap: int = None) -> str:
     """
 
 
+def ensure_csh3(spark: SparkSession) -> DataFrame:
+    """Materialize the distinct-3-gram shingle ARRAYS (csh3_mat) once per
+    corpus — the shingle relation a production contamination check
+    persists next to the benchmark index. The contamination query
+    referenced its shingle CTE three times (bench slice + candidate sizes
+    + candidate hits) and Catalyst inlines deterministic CTEs, so the
+    regex shingle build ran 3x per evaluation — and the gate is evaluated
+    by the declared query, the inline funnel AND the stage build. Array
+    form (not pre-exploded): the explode over cached arrays is cheap; the
+    shingle construction is the expensive part."""
+    sh3 = _adistinct(_shingles("toks", 3, "s"), "s")
+    return _ensure_cached_view(
+        spark, "csh3_mat",
+        lambda: spark.sql(
+            f"SELECT doc_id, {sh3} AS sh FROM documents_tok ct"))
+
+
 def ensure_minhash_sigs(spark: SparkSession,
                         n_minhash: int = None) -> DataFrame:
     """Materialize the MinHash signature relation (sigs_mat) once per
@@ -1904,10 +1988,15 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
     """
     import pyspark.sql.functions as F
 
+    owns_cache = pairs is not None
     if pairs is None:
+        # the declared query is a scan of the ALREADY-CACHED pairs_mat
+        # materialization (ensure_lsh_pairs) — re-caching it would
+        # materialize the same rows a second time (r7: ~1 s per cc build)
         prepare_textkit_views(spark, "dedup_minhash_lsh")
         pairs = spark.sql(spark_sql_queries()["dedup_minhash_lsh"])
-    pairs = pairs.cache()  # the union below reads it twice
+    else:
+        pairs = pairs.cache()  # count + union below read it twice
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
         # small candidate set: each distributed round costs seconds of pure
@@ -1937,7 +2026,8 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(doc, find(doc)) for doc in parent]
-        pairs.unpersist()
+        if owns_cache:
+            pairs.unpersist()
         return spark.createDataFrame(
             sorted(out), "doc_id long, cluster_rep long"
         )
@@ -1976,7 +2066,8 @@ def dedup_components(spark: SparkSession, max_iters: int = 20,
             break
         prev_sum = new_sum
     edges.unpersist()
-    pairs.unpersist()
+    if owns_cache:
+        pairs.unpersist()
     if not converged:
         # a silent exit here would hand back labels that are NOT the
         # component minima (graph diameter > max_iters) and nothing
@@ -2055,6 +2146,7 @@ def materialize_curation_stages(spark: SparkSession) -> None:
     # on the caller's thread; only the count() actions run in the pool.
     from concurrent.futures import ThreadPoolExecutor
 
+    ensure_csh3(spark)  # the contamination gate reads csh3_mat
     sqls = spark_sql_queries()
     indep = [(view, qname) for view, qname in _CURATION_STAGES
              if qname != "dedup_keep_list"]
@@ -2089,6 +2181,10 @@ def prepare_textkit_views(spark: SparkSession, name: str,
     if name in ("dedup_minhash_lsh", "split_leakage",
                 "source_overlap_matrix", "neardup_verified_pairs"):
         ensure_lsh_pairs(spark, n_minhash)
+    elif name in ("contamination_check", "curate_attrition"):
+        # the gate body (declared query; embedded once by the inline
+        # funnel) reads the materialized shingle arrays
+        ensure_csh3(spark)
     elif name in ("simhash_clusters", "simhash_neardup_pairs"):
         # cached + memoized per corpus epoch: the banded self-join reads
         # this relation twice, the 60-bit vote fold is the expensive part,

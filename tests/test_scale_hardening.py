@@ -38,7 +38,7 @@ def _restore_views(spark):
         for d in (df if isinstance(df, list) else [df]):
             d.unpersist()
     for v in ("documents", "documents_tok", "docsh_mat", "simhash_mat",
-              "tok_mat", "tokcap_mat", "sigs_mat", "pairs_mat",
+              "tok_mat", "tokcap_mat", "sigs_mat", "pairs_mat", "csh3_mat",
               "cf_mat", "rep_mat", "cont_mat", "keepl_mat",
               "spl_mat", "cc_mat"):
         spark.catalog.dropTempView(v)
@@ -464,6 +464,7 @@ def test_repetition_and_contamination_semantics(spark):
         assert rep[1] == "repetitive_token"
         assert rep[2] == "repetitive_2gram"
         assert rep[3] == "ok"
+        textkit.prepare_textkit_views(spark, "contamination_check")
         cont = {r["doc_id"]: r for r in spark.sql(
             textkit.spark_sql_queries()["contamination_check"]).collect()}
         assert cont[51]["verdict"] == "contaminated"
