@@ -540,9 +540,16 @@ _PRIORITY_R7 = [
     # vecs_mat ANN, re-batched streaming drains) — ordered so the shared
     # materialization builds are paid by the queries that were the r6
     # cold outliers (neardup_verified_pairs pays tok+sigs+pairs,
-    # curate_attrition_incr pays cc+stages, ann_topk_brute pays vecs_mat,
+    # curate_attrition_incr pays cc+stages, ann_topk_lsh pays vecs_mat,
     # events_sessionize_streamed / stream_pii_screen pay the replay
-    # staging).
+    # staging). Late-r7 adjustment: the synth-staging rewrite
+    # (_synth_docs now generates on the executors) changed the
+    # extract_synth_corpus / quarantine_reasons / quarantine_oversize
+    # input path, so those three rotate INTO the head for driver
+    # re-attestation, displacing ann_topk_brute / embedding_neardup /
+    # embedding_buckets (r6-attested, smallest r7 delta — brute's vecs_mat
+    # read stays attested through the four other ann rows in-window);
+    # the displaced three stay exactly one round stale, within rule (b).
     "neardup_verified_pairs",
     "curate_attrition_incr",
     "source_overlap_matrix",
@@ -550,13 +557,13 @@ _PRIORITY_R7 = [
     "dedup_components",
     "dedup_keep_list",
     "ngram_jaccard_pairs",
-    "ann_topk_brute",
+    "extract_synth_corpus",
+    "quarantine_reasons",
+    "quarantine_oversize",
     "ann_topk_lsh",
-    "embedding_neardup",
     "ann_topk_multitable",
     "ann_topk_multiprobe",
     "ann_recall_eval",
-    "embedding_buckets",
     "events_sessionize_streamed",
     "stream_pii_screen",
     "stream_neardup_screen",
