@@ -81,3 +81,22 @@ def test_query_matches_oracle(spark, con, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_synth_staging_distributed_equals_driver_generator(spark):
+    """r7: _synth_docs moved corpus generation onto the executors
+    (mapInArrow over spark.range); the staged rows must be EXACTLY the
+    driver-side corpus_rows(120, seed=7) stream — same doc_ids, same
+    span tuples — or every synth-family driver query silently attests
+    a different corpus."""
+    from t2p_spark.synth import corpus_rows
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in entrymod._synth_docs(spark).collect()
+    }
+    want = {doc_id: [tuple(s) for s in spans]
+            for doc_id, spans in corpus_rows(120, seed=7, chunk_size=1 << 20)}
+    assert set(got) == set(want)
+    assert all(got[d] == want[d] for d in want)
